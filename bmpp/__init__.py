@@ -1,0 +1,14 @@
+"""bmpp — PySpark-native quality-filter engine.
+
+A from-scratch re-expression of oicr-gsi/bamMergePreprocessing's
+dataflow (filter → mark-duplicates → merge → realign → recalibrate,
+bamMergePreprocessing.wdl:98-213) as filter → dedup → score → scrub
+over a table of source-code files (BASELINE.json north_star).
+"""
+
+from .rules import PipelineConfig
+from .pipeline import build_plan, run_resumable
+from .session import get_spark
+
+__all__ = ["PipelineConfig", "build_plan", "run_resumable", "get_spark"]
+__version__ = "0.1.0"

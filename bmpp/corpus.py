@@ -1,0 +1,306 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §F1).
+
+Schema is exactly BASELINE.json's ``input_hint``: one row = one source
+file, ``(repo, path, commit, lang, content)`` plus a ``plant`` ground-
+truth column used only by tests (never read by the pipeline).
+
+Every row is a pure function of ``(seed, i)`` — ``gen_row`` — so the
+distributed generator (``corpus_df``: mapInPandas over spark.range,
+scales to any row count with zero driver memory) and the local oracle
+fixtures produce byte-identical corpora. Plays the role of the
+reference's PCSI/STAR test BAM fixtures
+(vidarrtest-regression.json.in), with anomalies planted at the
+FIXTURES.md fractions to sweep the same flag lattice the reference's
+12 regression cases sweep.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from . import rules
+
+SEED = 42
+N_REPOS = 100
+
+_WORDS = (
+    "alpha beta gamma delta epsilon vector matrix tensor buffer stream cache "
+    "index offset length width height count total value result status config "
+    "parser lexer token symbol scope frame stack queue heap node edge graph "
+    "batch chunk shard block merge split filter reduce map fold scan apply"
+).split()
+
+_TOX_WORDS = rules.TOXICITY_LEXICON
+
+
+def _ident(rng: random.Random) -> str:
+    return "_".join(rng.sample(_WORDS, rng.randint(1, 2)))
+
+
+def _comment_words(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(n))
+
+
+# ---------------------------------------------------------------------------
+# per-language code templates — distinct char-trigram profiles so the
+# langid model can discriminate them
+# ---------------------------------------------------------------------------
+
+
+def _gen_python(rng: random.Random, n_lines: int) -> str:
+    out = ["import os", "from typing import List", ""]
+    while len(out) < n_lines:
+        f, a, b = _ident(rng), _ident(rng), _ident(rng)
+        out += [
+            f"def {f}({a}, {b}=None):",
+            f"    # {_comment_words(rng, rng.randint(3, 7))}",
+            f"    {a} = [{b} for {b} in range({rng.randint(2, 99)})]",
+            f"    return sum({a}) + len(str({b}))",
+            "",
+        ]
+    return "\n".join(out[:n_lines])
+
+
+def _gen_java(rng: random.Random, n_lines: int) -> str:
+    cls = _ident(rng).title().replace("_", "")
+    out = ["package com.example.app;", "import java.util.List;", "",
+           f"public class {cls} {{"]
+    while len(out) < n_lines - 1:
+        m, v = _ident(rng), _ident(rng)
+        out += [
+            f"    public static int {m}(int {v}) {{",
+            f"        // {_comment_words(rng, rng.randint(3, 7))}",
+            f"        final int {v}Total = {v} * {rng.randint(2, 99)};",
+            f"        return {v}Total + {v};",
+            "    }",
+        ]
+    out.append("}")
+    return "\n".join(out[:n_lines])
+
+
+def _gen_javascript(rng: random.Random, n_lines: int) -> str:
+    out = ["'use strict';", "const util = require('util');", ""]
+    while len(out) < n_lines:
+        f, v = _ident(rng), _ident(rng)
+        out += [
+            f"function {f}({v}) {{",
+            f"  // {_comment_words(rng, rng.randint(3, 7))}",
+            f"  const {v}Arr = Array.from({{length: {rng.randint(2, 99)}}});",
+            f"  return {v}Arr.map((x) => x + {v}).length;",
+            "}",
+        ]
+    return "\n".join(out[:n_lines])
+
+
+def _gen_c(rng: random.Random, n_lines: int) -> str:
+    out = ["#include <stdio.h>", "#include <stdlib.h>", ""]
+    while len(out) < n_lines:
+        f, v = _ident(rng), _ident(rng)
+        out += [
+            f"static int {f}(int {v}) {{",
+            f"    /* {_comment_words(rng, rng.randint(3, 7))} */",
+            f"    int {v}_total = {v} * {rng.randint(2, 99)};",
+            f"    printf(\"%d\\n\", {v}_total);",
+            f"    return {v}_total;",
+            "}",
+        ]
+    return "\n".join(out[:n_lines])
+
+
+def _gen_go(rng: random.Random, n_lines: int) -> str:
+    out = ["package main", "", "import \"fmt\"", ""]
+    while len(out) < n_lines:
+        f, v = _ident(rng), _ident(rng)
+        out += [
+            f"func {f}({v} int) int {{",
+            f"\t// {_comment_words(rng, rng.randint(3, 7))}",
+            f"\t{v}Total := {v} * {rng.randint(2, 99)}",
+            f"\tfmt.Println({v}Total)",
+            f"\treturn {v}Total",
+            "}",
+        ]
+    return "\n".join(out[:n_lines])
+
+
+def _gen_markdown(rng: random.Random, n_lines: int) -> str:
+    out = [f"# {_comment_words(rng, 3).title()}", ""]
+    while len(out) < n_lines:
+        out += [
+            f"## {_comment_words(rng, 2).title()}",
+            "",
+            _comment_words(rng, rng.randint(10, 25)) + ".",
+            "",
+            f"- {_comment_words(rng, rng.randint(3, 8))}",
+            f"- {_comment_words(rng, rng.randint(3, 8))}",
+            "",
+        ]
+    return "\n".join(out[:n_lines])
+
+
+_GEN = {
+    "python": _gen_python,
+    "java": _gen_java,
+    "javascript": _gen_javascript,
+    "c": _gen_c,
+    "go": _gen_go,
+    "markdown": _gen_markdown,
+}
+_EXT = {"python": "py", "java": "java", "javascript": "js", "c": "c",
+        "go": "go", "markdown": "md"}
+
+
+def clean_file(lang: str, rng: random.Random, n_lines: int | None = None) -> str:
+    return _GEN[lang](rng, n_lines or rng.randint(15, 80))
+
+
+def training_samples(per_lang: int = 200, seed: int = 7) -> dict[str, list[str]]:
+    """Clean per-language samples for model training (offline step —
+    the BaseRecalibrator analog: learn the table before the apply)."""
+    out: dict[str, list[str]] = {}
+    for lang in rules.LANGS:
+        rng = random.Random(f"train:{seed}:{lang}")
+        out[lang] = [clean_file(lang, rng) for _ in range(per_lang)]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# planted anomalies (FIXTURES.md fraction table)
+# ---------------------------------------------------------------------------
+
+_MEGA_BLOB = clean_file("python", random.Random("megablob"), 40)
+_DUP_POOL = [
+    clean_file(rules.LANGS[i % len(rules.LANGS)], random.Random(f"dup:{i}"), 30)
+    for i in range(20)
+]
+_NEAR_BASES = [
+    clean_file(rules.LANGS[i % len(rules.LANGS)], random.Random(f"nearbase:{i}"), 40)
+    for i in range(10)
+]
+
+PLANTS = [
+    # (label, cumulative upper bound of u ~ U[0,1))
+    ("mega_dup", 0.10),
+    ("dup", 0.12),
+    ("near_dup", 0.17),
+    ("wrong_lang", 0.21),
+    ("minified", 0.25),
+    ("garbage", 0.27),
+    ("repeated", 0.29),
+    ("pii", 0.35),
+    ("toxic", 0.36),
+    ("empty", 0.37),
+    ("clean", 1.01),
+]
+
+
+def _pii_lines(rng: random.Random) -> list[str]:
+    opts = [
+        lambda: f"# contact: {_ident(rng)}@example-{rng.randint(1,99)}.com",
+        lambda: f"HOST = \"{rng.randint(1,254)}.{rng.randint(0,254)}."
+                f"{rng.randint(0,254)}.{rng.randint(1,254)}\"",
+        lambda: "AWS_KEY = \"AKIA" + "".join(
+            rng.choice("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789") for _ in range(16)
+        ) + "\"",
+        lambda: f"api_key = \"{''.join(rng.choice('abcdef0123456789') for _ in range(24))}\"",
+    ]
+    return [rng.choice(opts)() for _ in range(rng.randint(1, 3))]
+
+
+def gen_row(i: int, seed: int = SEED) -> dict:
+    """Pure function (seed, i) → one corpus row. Shared by the Spark
+    generator and the oracle fixtures — byte-identical everywhere."""
+    rng = random.Random(f"{seed}:{i}")
+    u = rng.random()
+    plant = next(label for label, ub in PLANTS if u < ub)
+
+    lang = rng.choice(rules.LANGS)
+    repo_idx = rng.randrange(N_REPOS)
+    repo = f"org{repo_idx % 10}/proj{repo_idx}"
+    commit = hashlib.sha1(f"{seed}:{i}:commit".encode()).hexdigest()
+    path = f"src/{_ident(rng)}/{_ident(rng)}_{i}.{_EXT[lang]}"
+
+    if plant == "mega_dup":
+        lang, content = "python", _MEGA_BLOB
+        path = f"src/{_ident(rng)}/common_{i}.py"
+    elif plant == "dup":
+        j = rng.randrange(len(_DUP_POOL))
+        lang = rules.LANGS[j % len(rules.LANGS)]
+        content = _DUP_POOL[j]
+        path = f"src/{_ident(rng)}/vendored_{i}.{_EXT[lang]}"
+    elif plant == "near_dup":
+        j = rng.randrange(len(_NEAR_BASES))
+        lang = rules.LANGS[j % len(rules.LANGS)]
+        lines = _NEAR_BASES[j].split("\n")
+        # perturb ~3% of lines: comment noise keeps shingle overlap high
+        for k in range(len(lines)):
+            if rng.random() < 0.03:
+                lines[k] = lines[k] + f"  # edited {_ident(rng)}"
+        content = "\n".join(lines)
+        path = f"src/{_ident(rng)}/fork_{i}.{_EXT[lang]}"
+    elif plant == "wrong_lang":
+        actual = rng.choice([l for l in rules.LANGS if l != lang])
+        content = clean_file(actual, rng)
+        # declared ``lang`` stays the wrong one
+    elif plant == "minified":
+        toks = [
+            f"{_ident(rng)}={rng.randint(0, 9)};" for _ in range(rng.randint(260, 500))
+        ]
+        content = "".join(toks)  # single line far beyond MAX_LINE_LEN
+    elif plant == "garbage":
+        content = "".join(
+            chr(rng.randint(33, 126)) if rng.random() < 0.7 else chr(rng.randint(0x2500, 0x25FF))
+            for _ in range(rng.randint(400, 1500))
+        )
+    elif plant == "repeated":
+        line = f"{_ident(rng)} = {_ident(rng)}({rng.randint(0, 99)})"
+        content = "\n".join([line] * rng.randint(100, 500))
+    elif plant == "pii":
+        base = clean_file(lang, rng).split("\n")
+        for ln in _pii_lines(rng):
+            base.insert(rng.randrange(len(base)), ln)
+        content = "\n".join(base)
+    elif plant == "toxic":
+        base = clean_file(lang, rng).split("\n")
+        base.insert(
+            rng.randrange(len(base)),
+            f"# {rng.choice(_TOX_WORDS)} {_comment_words(rng, 4)}",
+        )
+        content = "\n".join(base)
+    elif plant == "empty":
+        content = rng.choice(["", " ", "\n", "  \n\n ", "\t\n"])
+    else:
+        content = clean_file(lang, rng)
+
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "content": content,
+        "plant": plant,
+    }
+
+
+def gen_rows(n: int, seed: int = SEED) -> list[dict]:
+    return [gen_row(i, seed) for i in range(n)]
+
+
+CORPUS_SCHEMA = (
+    "repo string, path string, commit string, lang string, "
+    "content string, plant string"
+)
+
+
+def corpus_df(spark, n_rows: int, seed: int = SEED, partitions: int | None = None):
+    """Distributed corpus: mapInPandas over spark.range — each executor
+    materializes only its id range, so this scales to arbitrary row
+    counts (the 10^12-file design point) with O(1) driver memory."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame([gen_row(int(i), seed) for i in pdf["id"]])
+
+    rng_df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen, schema=CORPUS_SCHEMA)

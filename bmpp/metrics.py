@@ -1,0 +1,53 @@
+"""Per-stage metrics + run report (FIXTURES.md §F3).
+
+MarkDuplicates ``.metrics`` / flagstat / AnalyzeCovariates analog
+(bamMergePreprocessing.wdl:385,446,784-827; tests/calculate.sh:10):
+metrics are DataFrame aggregations — partial+final hash aggregate,
+no extra pass over content — grouped by repo (the outputIdentifier
+group) so every partition's contribution is accounted for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_metrics(result: DataFrame) -> DataFrame:
+    """Per-group (repo) counters over the finalized table."""
+    return (
+        result.groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            F.sum(F.col("is_duplicate").cast("long")).alias("dups_flagged"),
+            F.sum((F.col("near_dup_of").isNotNull()).cast("long")).alias(
+                "near_dups_flagged"
+            ),
+            F.sum(F.col("scrub_count").cast("long")).alias("scrubs"),
+            F.sum(F.col("n_chars")).alias("bytes_in"),
+        )
+        .withColumn("dropped", F.col("rows") - F.col("kept"))
+    )
+
+
+def reason_metrics(result: DataFrame) -> DataFrame:
+    """Drop-reason histogram (flagstat analog — count per flag bit)."""
+    return (
+        result.select(F.explode("drop_reasons").alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+
+
+def run_report(result: DataFrame) -> dict:
+    """One-row run summary (AnalyzeCovariates-style report artifact)."""
+    row = result.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum(F.col("is_duplicate").cast("long")).alias("dups"),
+        F.sum((F.col("near_dup_of").isNotNull()).cast("long")).alias("near_dups"),
+        F.sum(F.col("scrub_count").cast("long")).alias("scrubs"),
+        F.sum(F.col("n_chars")).alias("bytes_in"),
+    ).collect()[0]
+    return {k: (int(v) if v is not None else 0) for k, v in row.asDict().items()}

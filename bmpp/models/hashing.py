@@ -1,0 +1,56 @@
+"""Deterministic vectorized hashing primitives (numpy, no wall clock).
+
+Used by the langid model, the char-ngram LM and MinHash so that the
+Spark pandas-UDF path and the pure-Python oracle produce bit-identical
+features (SURVEY.md §7 hard part (b): fixed seeds, no partition-order
+dependence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+_BASE = np.uint64(1099511628211)      # FNV prime
+
+
+def bytes_array(text: str) -> np.ndarray:
+    """utf-8 bytes of ``text`` as a uint64 numpy array."""
+    return np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+
+
+def ngram_hashes(b: np.ndarray, n: int) -> np.ndarray:
+    """Rolling polynomial hash of every ``n``-gram of byte array ``b``.
+
+    Vectorized: h[i] = sum_j b[i+j] * BASE^(n-1-j)  (mod 2^64), then a
+    final avalanche multiply. Returns uint64 array of length len(b)-n+1
+    (empty when the text is shorter than n).
+    """
+    m = len(b) - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(n):
+            h = h * _BASE + b[j : j + m]
+        return h * _MIX
+
+
+def bucketize(h: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Map uint64 hashes into [0, n_buckets) using the high bits."""
+    return (h >> np.uint64(64 - int(n_buckets - 1).bit_length() - 1)) % np.uint64(
+        n_buckets
+    )
+
+
+def char_ngram_counts(text: str, n_buckets: int, ns=(1, 2, 3)) -> np.ndarray:
+    """Hashed char-ngram bag-of-features vector (float64, length n_buckets)."""
+    b = bytes_array(text.lower())
+    out = np.zeros(n_buckets, dtype=np.float64)
+    for n in ns:
+        h = ngram_hashes(b, n)
+        if len(h):
+            out += np.bincount(
+                (h % np.uint64(n_buckets)).astype(np.int64), minlength=n_buckets
+            )
+    return out

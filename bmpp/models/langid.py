@@ -1,0 +1,80 @@
+"""fastText-style language-ID: hashed char-ngram features → linear model.
+
+Public-knowledge design (Joulin et al. 2016, "Bag of Tricks for
+Efficient Text Classification"): bag of hashed character n-grams, a
+linear scoring layer, softmax confidence. Trained here as multinomial
+Naive Bayes (a linear model in log space — closed form, deterministic,
+no iterative optimizer) over samples emitted by the corpus generator.
+
+Plays the role of the BQSR *learned table* in the reference
+(bamMergePreprocessing.wdl:681-878): learned offline, broadcast to
+every executor, applied embarrassingly-parallel via a vectorized UDF.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .hashing import char_ngram_counts
+
+N_BUCKETS = 1 << 15
+_SHARPEN = 40.0  # softmax temperature scale (per-ngram evidence weight)
+
+RESOURCE = Path(__file__).resolve().parent.parent / "resources" / "langid.npz"
+
+
+def train(samples: dict[str, list[str]], n_buckets: int = N_BUCKETS):
+    """Closed-form NB fit → (langs, W) with W[l, g] = log P(g | lang l)."""
+    langs = sorted(samples)
+    W = np.zeros((len(langs), n_buckets), dtype=np.float64)
+    for li, lang in enumerate(langs):
+        counts = np.zeros(n_buckets, dtype=np.float64)
+        for text in samples[lang]:
+            counts += char_ngram_counts(text, n_buckets)
+        W[li] = np.log(counts + 1.0) - np.log(counts.sum() + n_buckets)
+    return langs, W.astype(np.float32)
+
+
+def save(path: Path, langs: list[str], W: np.ndarray) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, langs=np.array(langs), W=W)
+
+
+class LangIdModel:
+    """Executor-singleton scorer (loaded once per python worker)."""
+
+    _instance: "LangIdModel | None" = None
+
+    def __init__(self, path: Path = RESOURCE):
+        z = np.load(path, allow_pickle=False)
+        self.langs = [str(x) for x in z["langs"]]
+        self.W = z["W"].astype(np.float64)
+        self.n_buckets = self.W.shape[1]
+
+    @classmethod
+    def get(cls) -> "LangIdModel":
+        if cls._instance is None:
+            cls._instance = cls()
+        return cls._instance
+
+    def predict_one(self, text: str) -> tuple[str, float]:
+        c = char_ngram_counts(text, self.n_buckets)
+        total = c.sum()
+        if total == 0:
+            return "unknown", 0.0
+        scores = (self.W @ c) / total  # length-normalized log-likelihoods
+        scores = scores - scores.max()
+        e = np.exp(scores * _SHARPEN)
+        p = e / e.sum()
+        i = int(np.argmax(p))
+        return self.langs[i], float(p[i])
+
+    def predict_batch(self, texts) -> tuple[list[str], list[float]]:
+        langs, confs = [], []
+        for t in texts:
+            l, c = self.predict_one(t if isinstance(t, str) else "")
+            langs.append(l)
+            confs.append(c)
+        return langs, confs

@@ -1,0 +1,74 @@
+"""Deterministic MinHash + LSH banding (Broder 1997; MMDS ch.3).
+
+Near-duplicate detection analog of MarkDuplicates' optical-duplicate
+distance (bamMergePreprocessing.wdl:282,388): documents whose shingle
+sets collide in an LSH band are flagged as near-duplicates of the
+bucket representative.
+
+Determinism contract (SURVEY.md §7 hard part (b)): permutation
+parameters derive from a fixed seed; tie-breaking uses (repo, path,
+commit), never partition order. The same functions run inside the
+Spark pandas UDF and inside the pure-Python oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import _MIX, bytes_array, ngram_hashes
+
+_SEED = 0x5EED_C0DE
+_U64 = np.uint64
+
+
+def _perm_params(n_perms: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(_SEED)
+    # odd multipliers → bijective over Z_2^64
+    a = rng.randint(1, 1 << 62, size=n_perms, dtype=np.uint64) * _U64(2) + _U64(1)
+    b = rng.randint(0, 1 << 62, size=n_perms, dtype=np.uint64)
+    return a, b
+
+
+_A64, _B64 = _perm_params(64)
+
+
+def shingles(text: str, k: int = 5) -> np.ndarray:
+    """Unique hashed character k-shingles of lowercased text."""
+    h = ngram_hashes(bytes_array(text.lower()), k)
+    return np.unique(h)
+
+
+def signature(text: str, n_perms: int = 64, k: int = 5) -> np.ndarray | None:
+    """MinHash signature (uint64[n_perms]); None when text has no shingles."""
+    s = shingles(text, k)
+    if len(s) == 0:
+        return None
+    a, b = (_A64[:n_perms], _B64[:n_perms]) if n_perms <= 64 else _perm_params(n_perms)
+    with np.errstate(over="ignore"):
+        m = (a[:, None] * s[None, :] + b[:, None]).min(axis=1)
+    return m
+
+
+def band_hashes(sig: np.ndarray, n_bands: int) -> list[int]:
+    """Fold the signature into ``n_bands`` band keys (signed int64 for
+    Spark LongType). Two docs share a band key iff their band rows match."""
+    rows = len(sig) // n_bands
+    out = []
+    with np.errstate(over="ignore"):
+        for bi in range(n_bands):
+            h = _U64(1469598103934665603)
+            for v in sig[bi * rows : (bi + 1) * rows]:
+                h = (h ^ v) * _MIX
+            # mix in the band index so buckets never collide across bands
+            h = (h ^ _U64(bi)) * _MIX
+            out.append(int(h.astype(np.int64)))
+    return out
+
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact shingle-set Jaccard (oracle-side verification helper)."""
+    sa, sb = shingles(text_a, k), shingles(text_b, k)
+    if len(sa) == 0 or len(sb) == 0:
+        return 0.0
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    return inter / (len(sa) + len(sb) - inter)

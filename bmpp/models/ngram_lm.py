@@ -1,0 +1,78 @@
+"""Character-level KenLM-style n-gram language model → log2 perplexity.
+
+Public-knowledge design (Heafield 2011 KenLM; classic add-k smoothed
+char trigram LM). Counts are hashed into fixed buckets so the model
+artifact stays small; trained on clean samples from the corpus
+generator's per-language templates. High-entropy / binary-ish content
+scores high perplexity → R_PPL drop reason.
+
+Fills the BaseRecalibrator→GatherBQSRReports→ApplyBQSR slot
+(bamMergePreprocessing.wdl:681-878): per-partition partial counting at
+train time, one gathered table, broadcast apply.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .hashing import bytes_array, ngram_hashes
+
+N_BUCKETS = 1 << 16
+ALPHA = 0.1
+VOCAB = 256.0
+
+RESOURCE = Path(__file__).resolve().parent.parent / "resources" / "ngram_lm.npz"
+
+
+def _hash_grams(text: str):
+    b = bytes_array(text.lower())
+    h3 = ngram_hashes(b, 3) % np.uint64(N_BUCKETS)
+    # context = leading bigram of each trigram position
+    h2 = ngram_hashes(b, 2)[: len(h3)] % np.uint64(N_BUCKETS) if len(h3) else h3
+    return h2.astype(np.int64), h3.astype(np.int64)
+
+
+def train(texts: list[str]):
+    c2 = np.zeros(N_BUCKETS, dtype=np.float64)
+    c3 = np.zeros(N_BUCKETS, dtype=np.float64)
+    for t in texts:
+        h2, h3 = _hash_grams(t)
+        if len(h3):
+            c3 += np.bincount(h3, minlength=N_BUCKETS)
+            c2 += np.bincount(h2, minlength=N_BUCKETS)
+    return c2.astype(np.float32), c3.astype(np.float32)
+
+
+def save(path: Path, c2: np.ndarray, c3: np.ndarray) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, c2=c2, c3=c3)
+
+
+class NgramLM:
+    """Executor-singleton perplexity scorer."""
+
+    _instance: "NgramLM | None" = None
+
+    def __init__(self, path: Path = RESOURCE):
+        z = np.load(path, allow_pickle=False)
+        self.c2 = z["c2"].astype(np.float64)
+        self.c3 = z["c3"].astype(np.float64)
+
+    @classmethod
+    def get(cls) -> "NgramLM":
+        if cls._instance is None:
+            cls._instance = cls()
+        return cls._instance
+
+    def log2_perplexity(self, text: str) -> float:
+        """-mean log2 P(c_i | c_{i-2} c_{i-1}); 0.0 for texts < 3 chars."""
+        h2, h3 = _hash_grams(text if isinstance(text, str) else "")
+        if len(h3) == 0:
+            return 0.0
+        logp = np.log2(self.c3[h3] + ALPHA) - np.log2(self.c2[h2] + ALPHA * VOCAB)
+        return float(-logp.mean())
+
+    def batch(self, texts) -> list[float]:
+        return [self.log2_perplexity(t) for t in texts]

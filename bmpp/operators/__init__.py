@@ -1,0 +1,17 @@
+from .filter import filter_stage, with_heuristics
+from .dedup import dedup_stage
+from .neardup import near_dedup_stage
+from .score import score_stage
+from .scrub import scrub_stage
+from .regroup import finalize, regroup_write
+
+__all__ = [
+    "with_heuristics",
+    "filter_stage",
+    "dedup_stage",
+    "near_dedup_stage",
+    "score_stage",
+    "scrub_stage",
+    "finalize",
+    "regroup_write",
+]

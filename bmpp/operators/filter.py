@@ -1,0 +1,77 @@
+"""Filter stage — heuristic quality predicates, 100% JVM-side.
+
+samtools-view analog (`-F filterFlags -q minMapQuality`,
+bamMergePreprocessing.wdl:339-376 — keep reads where
+``(flag & filterFlags)==0 AND mapq >= min``): here every heuristic is
+a Column expression inside whole-stage codegen — no Python touches the
+data. Reason codes accumulate like samtools flag bits; the row is
+never dropped here (flag-don't-drop, like REMOVE_DUPLICATES=false) so
+later stages and metrics see everything; `finalize` applies the keep
+predicate.
+
+Runs FIRST (predicate-pushdown discipline: the reference orders
+filter→markdup→merge the same way, wdl:339→378→418).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import rules
+
+
+def with_heuristics(df: DataFrame) -> DataFrame:
+    """alpha ratio + line statistics as pure Column expressions.
+
+    Semantics mirror rules.heuristics exactly: split on '\\n' keeping
+    trailing empties (limit -1), integer sums, one IEEE division.
+    """
+    c = F.col("content")
+    lines = F.split(c, "\n", -1)
+    lens = F.transform(lines, lambda x: F.length(x))
+    n_lines = F.size(lines)
+    return (
+        df.withColumn("n_chars", F.length(c))
+        .withColumn(
+            "alpha_ratio",
+            F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+            / F.greatest(F.length(c), F.lit(1)),
+        )
+        .withColumn("n_lines", n_lines)
+        .withColumn("max_line_len", F.array_max(lens))
+        .withColumn(
+            "mean_line_len",
+            F.aggregate(lens, F.lit(0).cast("long"), lambda acc, x: acc + x)
+            / n_lines.cast("double"),
+        )
+        .withColumn(
+            "distinct_line_ratio",
+            F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+        )
+    )
+
+
+def heuristic_reasons(cfg: rules.PipelineConfig):
+    """Array column of heuristic reason codes (nulls compacted later)."""
+    return [
+        # Java \s == Python str.strip() whitespace set ([ \t\n\x0b\f\r])
+        F.when(F.col("content").rlike("^\\s*$"), rules.R_EMPTY),
+        F.when(F.col("max_line_len") > cfg.max_line_len, rules.R_MAX_LINE),
+        F.when(F.col("mean_line_len") > cfg.max_mean_line_len, rules.R_MEAN_LINE),
+        F.when(F.col("alpha_ratio") < cfg.min_alpha_ratio, rules.R_ALPHA),
+        F.when(
+            (F.col("n_lines") >= cfg.repeat_min_lines)
+            & (F.col("distinct_line_ratio") < cfg.min_distinct_line_ratio),
+            rules.R_REPEAT,
+        ),
+    ]
+
+
+def filter_stage(df: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
+    df = with_heuristics(df)
+    if cfg.do_filter:
+        reasons = F.array_compact(F.array(*heuristic_reasons(cfg)))
+    else:
+        reasons = F.array().cast("array<string>")
+    return df.withColumn("_reasons_filter", reasons)

@@ -1,0 +1,52 @@
+"""Near-duplicate marking — MinHash + LSH banding as DataFrame ops.
+
+Optical-duplicate analog (MarkDuplicates pixel distance,
+bamMergePreprocessing.wdl:282,388): rows whose shingle sets collide in
+any LSH band are flagged against the bucket representative (min
+doc_key — deterministic across partitionings, SURVEY.md §7(b)).
+
+Plan shape: one Arrow-batched UDF computes band keys (array<long>),
+then pure DataFrame ops: posexplode → salted two-phase groupBy per
+band key (same skew discipline as exact dedup) → join back → groupBy
+doc for the min representative. Exact duplicates are excluded (their
+group rep still participates), mirroring markdup-then-optical
+layering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import rules
+from ..udfs import make_bands_udf
+
+
+def near_dedup_stage(df: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
+    if not cfg.do_near_dedup:
+        return df.withColumn("near_dup_of", F.lit(None).cast("string"))
+
+    bands_udf = make_bands_udf(cfg.minhash_perms, cfg.lsh_bands, cfg.shingle_k)
+    eligible = df.filter(~F.col("is_duplicate")).select(
+        "doc_key", bands_udf(F.col("content")).alias("_bands")
+    )
+    pairs = eligible.select(
+        "doc_key", F.explode("_bands").alias("band_hash")
+    )
+
+    salt = F.pmod(F.xxhash64("doc_key"), F.lit(cfg.dedup_salt_buckets))
+    partial = pairs.groupBy("band_hash", salt.alias("_salt")).agg(
+        F.min("doc_key").alias("_cand"), F.count(F.lit(1)).alias("_cnt")
+    )
+    buckets = (
+        partial.groupBy("band_hash")
+        .agg(F.min("_cand").alias("_rep"), F.sum("_cnt").alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    cands = (
+        pairs.join(buckets, "band_hash")
+        .filter(F.col("doc_key") != F.col("_rep"))
+        .groupBy("doc_key")
+        .agg(F.min("_rep").alias("near_dup_of"))
+    )
+    return df.join(cands, "doc_key", "left")

@@ -1,0 +1,66 @@
+"""Finalize + regroup/ordered write (collectFilesBySample + mergeBams
+analog, bamMergePreprocessing.wdl:880-955, 486-536).
+
+``finalize`` merges per-stage reason arrays into the final sorted
+``drop_reasons`` + ``keep`` (flag-don't-drop discipline throughout).
+
+``regroup_write`` restores group locality for the output — like the
+reference's regex regroup of scattered files back into per-sample
+merged BAMs — by bucketing the group key (Iceberg ``bucket(repo)``
+analog), repartitioning on the bucket and sorting WITHIN partitions
+(the reference keeps coordinate order per merged file, wdl:424,507 —
+never a global orderBy, which would add a range-exchange barrier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import rules
+
+FINAL_COLUMNS = [
+    "repo", "path", "commit", "lang", "doc_key", "content",
+    "content_sha256", "n_chars", "alpha_ratio", "n_lines",
+    "max_line_len", "mean_line_len", "distinct_line_ratio",
+    "is_duplicate", "dup_of", "dup_group_size", "near_dup_of",
+    "lang_detected", "langid_conf", "perplexity", "toxic_hits",
+    "scrub_candidate", "content_scrubbed", "scrub_count",
+    "drop_reasons", "keep",
+]
+
+
+def finalize(df: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
+    dup_reasons = F.array_compact(
+        F.array(
+            F.when(
+                F.lit(cfg.remove_duplicates) & F.col("is_duplicate"), rules.R_DUP
+            ),
+            F.when(
+                F.lit(cfg.remove_duplicates) & F.col("near_dup_of").isNotNull(),
+                rules.R_NEAR_DUP,
+            ),
+        )
+    )
+    df = df.withColumn(
+        "drop_reasons",
+        F.array_sort(
+            F.concat(F.col("_reasons_filter"), F.col("_reasons_score"), dup_reasons)
+        ),
+    ).withColumn("keep", F.size("drop_reasons") == 0)
+    keep_cols = [c for c in FINAL_COLUMNS if c in df.columns]
+    return df.select(*keep_cols)
+
+
+def regroup_write(
+    df: DataFrame, out_path: str, n_buckets: int = 32, mode: str = "overwrite"
+) -> None:
+    bucket = F.pmod(F.xxhash64("repo"), F.lit(n_buckets)).alias("part_bucket")
+    (
+        df.withColumn("part_bucket", bucket)
+        .repartition(n_buckets, "part_bucket")
+        .sortWithinPartitions("repo", "path", "commit")
+        .write.mode(mode)
+        .partitionBy("part_bucket")
+        .parquet(out_path)
+    )

@@ -1,0 +1,58 @@
+"""Score stage — broadcast-model apply + model-based reason codes.
+
+BQSR analog: the model artifacts (langid weights, ngram counts) are
+the *gathered recalibration table* — learned offline (partial counts →
+merge, scripts/train_models.py ≈ BaseRecalibrator→GatherBQSRReports,
+bamMergePreprocessing.wdl:681-782), shipped to executors once
+(SparkFiles/--py-files), and applied embarrassingly-parallel per row
+(ApplyBQSR scatter, wdl:829-878) via one Arrow-batched UDF.
+
+Toxicity counting stays JVM-side (regexp_count with a case-insensitive
+word-boundary pattern — the lexicon is tiny, compiled once by codegen).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import rules
+from ..udfs import score_udf
+
+_TOX_PATTERN = (
+    "(?i)\\b(" + "|".join(re.escape(w) for w in rules.TOXICITY_LEXICON) + ")\\b"
+)
+
+
+def score_stage(df: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
+    if not cfg.do_score:
+        return (
+            df.withColumn("lang_detected", F.lit(None).cast("string"))
+            .withColumn("langid_conf", F.lit(None).cast("double"))
+            .withColumn("perplexity", F.lit(None).cast("double"))
+            .withColumn("toxic_hits", F.lit(None).cast("int"))
+            .withColumn("_reasons_score", F.array().cast("array<string>"))
+        )
+
+    df = df.withColumn("_score", score_udf(F.col("content"))).select(
+        "*", "_score.*"
+    ).drop("_score")
+    df = df.withColumn(
+        "toxic_hits", F.regexp_count(F.col("content"), F.lit(_TOX_PATTERN)).cast("int")
+    )
+    known_lang = F.col("lang").isin(list(rules.LANGS))
+    reasons = F.array_compact(
+        F.array(
+            F.when(
+                (F.col("lang_detected") != F.col("lang"))
+                & (F.col("langid_conf") >= cfg.min_langid_conf)
+                & known_lang,
+                rules.R_LANG,
+            ),
+            F.when(F.col("perplexity") > cfg.max_perplexity, rules.R_PPL),
+            F.when(F.col("toxic_hits") > cfg.max_toxic_hits, rules.R_TOXIC),
+        )
+    )
+    return df.withColumn("_reasons_score", reasons)

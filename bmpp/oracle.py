@@ -1,0 +1,135 @@
+"""Pure-Python row-by-row oracle — the reference pipeline stand-in.
+
+Implements the exact keep/drop + dedup + scrub semantics of the Spark
+pipeline (same ``bmpp.rules`` / ``bmpp.models`` modules, same floats)
+so tests can assert F1 (target 1.0 at small scale, gate ≥0.99 per
+BASELINE.json) and byte-exact scrubbed text per row — the analog of
+the reference's golden-metrics comparison (`samtools view | md5sum`,
+tests/calculate.sh:9-14, tests/compare.sh:2).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from . import rules
+from .models.langid import LangIdModel
+from .models.minhash import band_hashes, signature
+from .models.ngram_lm import NgramLM
+
+
+def doc_key(row: dict) -> str:
+    return f"{row['repo']}/{row['path']}@{row['commit']}"
+
+
+def process(rows: list[dict], cfg: rules.PipelineConfig | None = None) -> list[dict]:
+    """Full pipeline semantics over a list of input rows; returns one
+    output dict per input row (order preserved), FIXTURES.md §F2 schema."""
+    cfg = cfg or rules.PipelineConfig()
+    langid = LangIdModel.get()
+    lm = NgramLM.get()
+
+    out: list[dict] = []
+    for r in rows:
+        c = r["content"]
+        feats = rules.heuristics(c)
+        o = dict(repo=r["repo"], path=r["path"], commit=r["commit"], lang=r["lang"])
+        o["doc_key"] = doc_key(r)
+        o["content"] = c
+        o["content_sha256"] = rules.content_sha256(c)
+        o.update(feats)
+
+        reasons = set()
+        if cfg.do_filter:
+            if c.strip() == "":
+                reasons.add(rules.R_EMPTY)
+            if feats["max_line_len"] > cfg.max_line_len:
+                reasons.add(rules.R_MAX_LINE)
+            if feats["mean_line_len"] > cfg.max_mean_line_len:
+                reasons.add(rules.R_MEAN_LINE)
+            if feats["alpha_ratio"] < cfg.min_alpha_ratio:
+                reasons.add(rules.R_ALPHA)
+            if (
+                feats["n_lines"] >= cfg.repeat_min_lines
+                and feats["distinct_line_ratio"] < cfg.min_distinct_line_ratio
+            ):
+                reasons.add(rules.R_REPEAT)
+
+        if cfg.do_score:
+            lang_det, conf = langid.predict_one(c)
+            ppl = lm.log2_perplexity(c)
+            tox = rules.toxicity_hits(c)
+            o["lang_detected"], o["langid_conf"], o["perplexity"] = lang_det, conf, ppl
+            o["toxic_hits"] = tox
+            if (
+                lang_det != r["lang"]
+                and conf >= cfg.min_langid_conf
+                and r["lang"] in rules.LANGS
+            ):
+                reasons.add(rules.R_LANG)
+            if ppl > cfg.max_perplexity:
+                reasons.add(rules.R_PPL)
+            if tox > cfg.max_toxic_hits:
+                reasons.add(rules.R_TOXIC)
+        else:
+            o["lang_detected"], o["langid_conf"], o["perplexity"] = None, None, None
+            o["toxic_hits"] = None
+
+        o["_reasons"] = reasons
+        out.append(o)
+
+    # --- exact dedup (MarkDuplicates analog: flag, don't drop) ---
+    if cfg.do_dedup:
+        groups: dict[str, list[dict]] = defaultdict(list)
+        for o in out:
+            groups[o["content_sha256"]].append(o)
+        for g in groups.values():
+            rep = min(x["doc_key"] for x in g)
+            for x in g:
+                x["is_duplicate"] = len(g) > 1 and x["doc_key"] != rep
+                x["dup_of"] = rep if x["is_duplicate"] else None
+                if x["is_duplicate"] and cfg.remove_duplicates:
+                    x["_reasons"].add(rules.R_DUP)
+    else:
+        for o in out:
+            o["is_duplicate"], o["dup_of"] = False, None
+
+    # --- near-dup via MinHash LSH (optical-duplicate analog) ---
+    if cfg.do_near_dedup:
+        buckets: dict[int, list[str]] = defaultdict(list)
+        sigs: dict[str, list[int]] = {}
+        for o in out:
+            if o["is_duplicate"]:
+                continue
+            sig = signature(o["content"], cfg.minhash_perms, cfg.shingle_k)
+            if sig is None:
+                continue
+            bands = band_hashes(sig, cfg.lsh_bands)
+            sigs[o["doc_key"]] = bands
+            for bh in bands:
+                buckets[bh].append(o["doc_key"])
+        rep_of = {bh: min(ks) for bh, ks in buckets.items() if len(ks) > 1}
+        for o in out:
+            cands = [
+                rep_of[bh]
+                for bh in sigs.get(o["doc_key"], [])
+                if bh in rep_of and rep_of[bh] != o["doc_key"]
+            ]
+            o["near_dup_of"] = min(cands) if cands else None
+            if o["near_dup_of"] is not None and cfg.remove_duplicates:
+                o["_reasons"].add(rules.R_NEAR_DUP)
+    else:
+        for o in out:
+            o["near_dup_of"] = None
+
+    # --- scrub (IndelRealigner analog: byte-exact rewrite) ---
+    for o in out:
+        if cfg.do_scrub:
+            scrubbed, n = rules.scrub(o["content"])
+        else:
+            scrubbed, n = o["content"], 0
+        o["content_scrubbed"], o["scrub_count"] = scrubbed, n
+        o["scrubbed_sha256"] = rules.content_sha256(scrubbed)
+        o["drop_reasons"] = sorted(o.pop("_reasons"))
+        o["keep"] = not o["drop_reasons"]
+    return out

@@ -1,0 +1,71 @@
+"""Pipeline orchestration: filter → dedup → near-dup → score → scrub →
+finalize (the reference's filter→markdup→merge→realign→recalibrate DAG,
+SURVEY.md §3, re-staged per BASELINE.json north_star).
+
+Stages are pure ``DataFrame -> DataFrame`` functions; plan-time flags
+(``PipelineConfig``) prune whole stages exactly like the WDL's
+``if(doX)`` + ``select_first`` branch pruning
+(bamMergePreprocessing.wdl:128,151,166) — dead branches never reach
+Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import rules
+from .io import ParquetSnapshotIO
+from .operators import (
+    dedup_stage,
+    filter_stage,
+    finalize,
+    near_dedup_stage,
+    score_stage,
+    scrub_stage,
+)
+
+STAGES = ["filter", "dedup", "neardup", "score", "scrub", "final"]
+
+
+def build_plan(df: DataFrame, cfg: rules.PipelineConfig | None = None) -> DataFrame:
+    """Single lazy plan, no checkpoints — Catalyst sees the whole DAG."""
+    cfg = cfg or rules.PipelineConfig()
+    df = filter_stage(df, cfg)
+    df = dedup_stage(df, cfg)
+    df = near_dedup_stage(df, cfg)
+    df = score_stage(df, cfg)
+    df = scrub_stage(df, cfg)
+    return finalize(df, cfg)
+
+
+def run_resumable(
+    spark: SparkSession,
+    df: DataFrame,
+    cfg: rules.PipelineConfig,
+    io: ParquetSnapshotIO,
+) -> DataFrame:
+    """Checkpointed execution: each stage commits a snapshot and the
+    next stage reads it back (Cromwell call-caching analog, SURVEY.md
+    §3 E3). A killed run resumes from the last committed manifest."""
+    ch = cfg.config_hash()
+    stage_fns = [
+        ("filter", lambda d: filter_stage(d, cfg)),
+        ("dedup", lambda d: dedup_stage(d, cfg)),
+        ("neardup", lambda d: near_dedup_stage(d, cfg)),
+        ("score", lambda d: score_stage(d, cfg)),
+        ("scrub", lambda d: scrub_stage(d, cfg)),
+        ("final", lambda d: finalize(d, cfg)),
+    ]
+    cur = df
+    # find last committed stage, resume after it
+    done = -1
+    for i, (name, _) in enumerate(stage_fns):
+        if io.exists(name, ch):
+            done = i
+    if done >= 0:
+        cur = io.read(spark, stage_fns[done][0], ch)
+    for name, fn in stage_fns[done + 1 :]:
+        cur = fn(cur)
+        io.write(cur, name, ch)
+        cur = io.read(spark, name, ch)
+    return cur

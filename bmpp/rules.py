@@ -1,0 +1,173 @@
+"""Shared keep/drop + scrub semantics — the single source of truth.
+
+Both the Spark pipeline (pandas UDFs / Column expressions in
+``bmpp.operators``) and the pure-Python oracle (``bmpp.oracle``) import
+THIS module, so the golden labels cannot drift from the engine
+(SURVEY.md §7 hard part (a)).
+
+Reference parity (cited per SURVEY.md):
+- filter thresholds play the role of samtools ``-F filterFlags -q
+  minMapQuality`` (bamMergePreprocessing.wdl:275-276,339-376);
+- reason codes play the role of samtools flag bits;
+- the scrub regex pack plays the role of the known-indels/known-sites
+  side inputs + IndelRealigner content rewrite
+  (bamMergePreprocessing.wdl:70-96,599-679).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass, field
+
+# --------------------------------------------------------------------------
+# thresholds (the "filterFlags/minMapQuality" of this engine)
+# --------------------------------------------------------------------------
+
+MAX_LINE_LEN = 1000          # minified / generated code
+MAX_MEAN_LINE_LEN = 400.0    # machine-generated blobs
+MIN_ALPHA_RATIO = 0.25       # binary-ish / high-symbol garbage
+MIN_DISTINCT_LINE_RATIO = 0.30   # repeated-line files ...
+REPEAT_MIN_LINES = 20            # ... once they have enough lines
+MIN_LANGID_CONF = 0.80       # declared-vs-detected language agreement
+MAX_PERPLEXITY = 5.0         # char-ngram log2 perplexity ceiling
+                             # (clean code p99≈1.8, garbage p1≈7.6)
+MAX_TOXIC_HITS = 0           # any lexicon hit drops
+
+# reason codes (≈ samtools flag bits; stable strings, sorted in output)
+R_EMPTY = "empty"
+R_MAX_LINE = "max_line_len"
+R_MEAN_LINE = "mean_line_len"
+R_ALPHA = "alpha_ratio"
+R_REPEAT = "repeated_lines"
+R_LANG = "lang_mismatch"
+R_PPL = "perplexity"
+R_TOXIC = "toxicity"
+R_DUP = "duplicate"          # only when cfg.remove_duplicates
+R_NEAR_DUP = "near_duplicate"
+
+LANGS = ["python", "java", "javascript", "c", "go", "markdown"]
+
+# --------------------------------------------------------------------------
+# heuristic features — pure functions of content, integer/rational math
+# only, so Spark SQL expressions / DuckDB SQL / Python all agree bit-exact
+# --------------------------------------------------------------------------
+
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+def heuristics(content: str) -> dict:
+    """alpha ratio + line statistics for one document.
+
+    Must mirror the Column expressions in bmpp.operators.filter_stage
+    (split on '\\n' with trailing empties KEPT, like Spark
+    ``split(col, '\\n', -1)``).
+    """
+    n_chars = len(content)
+    alpha_chars = len(_ALPHA_RE.findall(content))
+    lines = content.split("\n")
+    n_lines = len(lines)
+    lens = [len(ln) for ln in lines]
+    return {
+        "n_chars": n_chars,
+        "alpha_ratio": alpha_chars / max(n_chars, 1),
+        "n_lines": n_lines,
+        "max_line_len": max(lens),
+        "mean_line_len": sum(lens) / n_lines,
+        "distinct_line_ratio": len(set(lines)) / n_lines,
+    }
+
+
+def content_sha256(content: str) -> str:
+    return hashlib.sha256(content.encode("utf-8")).hexdigest()
+
+
+# --------------------------------------------------------------------------
+# toxicity lexicon (versioned in-repo — known-sites VCF analog)
+# --------------------------------------------------------------------------
+
+TOXICITY_LEXICON = [
+    "frakking", "gorram", "smegging", "felgercarb", "shazbot",
+]
+_TOX_RE = re.compile(
+    r"\b(" + "|".join(re.escape(w) for w in TOXICITY_LEXICON) + r")\b",
+    re.IGNORECASE,
+)
+
+
+def toxicity_hits(content: str) -> int:
+    return len(_TOX_RE.findall(content))
+
+
+# --------------------------------------------------------------------------
+# PII / secret scrub pack (IndelRealigner analog: two-phase detect+rewrite)
+# Ordered list — order matters (AWS key before generic secret).
+# --------------------------------------------------------------------------
+
+SCRUB_PACK: list[tuple[str, str]] = [
+    (r"AKIA[0-9A-Z]{16}", "<AWS_KEY>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (
+        r"\b(?i:(api[_-]?key|secret|token|password))(\s*[:=]\s*)[\"']([^\"']{8,})[\"']",
+        r"\1\2\"<SECRET>\"",
+    ),
+]
+_SCRUB_COMPILED = [(re.compile(p), r) for p, r in SCRUB_PACK]
+_CANDIDATE_RE = re.compile(
+    "|".join(f"(?:{p})" for p, _ in SCRUB_PACK)
+)
+
+
+def scrub_candidate(content: str) -> bool:
+    """Cheap detect pass (realignerTargetCreator analog,
+    bamMergePreprocessing.wdl:538-597): does this row need a rewrite?"""
+    return _CANDIDATE_RE.search(content) is not None
+
+
+def scrub(content: str) -> tuple[str, int]:
+    """Apply the full pack in order; returns (scrubbed, n_replacements).
+
+    indelRealign analog (bamMergePreprocessing.wdl:599-679) — rewrites
+    content in place while lineage columns pass through untouched.
+    """
+    total = 0
+    for pat, repl in _SCRUB_COMPILED:
+        content, n = pat.subn(repl, content)
+        total += n
+    return content, total
+
+
+# --------------------------------------------------------------------------
+# pipeline config — plan-time switches (≈ doFilter/doMarkDuplicates/
+# doSplitNCigarReads/doIndelRealignment/doBqsr, wdl:13-18)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    do_filter: bool = True           # ≈ doFilter (wdl:14)
+    do_dedup: bool = True            # ≈ doMarkDuplicates (wdl:15)
+    do_near_dedup: bool = True       # ≈ optical-duplicate detection (wdl:282)
+    do_score: bool = True            # ≈ doBqsr (wdl:18)
+    do_scrub: bool = True            # ≈ doIndelRealignment (wdl:17)
+    remove_duplicates: bool = False  # ≈ removeDuplicates (wdl:281, default false)
+    max_line_len: int = MAX_LINE_LEN
+    max_mean_line_len: float = MAX_MEAN_LINE_LEN
+    min_alpha_ratio: float = MIN_ALPHA_RATIO
+    min_distinct_line_ratio: float = MIN_DISTINCT_LINE_RATIO
+    repeat_min_lines: int = REPEAT_MIN_LINES
+    min_langid_conf: float = MIN_LANGID_CONF
+    max_perplexity: float = MAX_PERPLEXITY
+    max_toxic_hits: int = MAX_TOXIC_HITS
+    dedup_salt_buckets: int = 64     # skew salt for the content-hash groupBy
+    minhash_perms: int = 64
+    lsh_bands: int = 8               # 8 bands × 8 rows
+    shingle_k: int = 5               # char-shingle width (words for code)
+
+    def config_hash(self) -> str:
+        import json
+
+        return hashlib.sha256(
+            json.dumps(self.__dict__, sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]

@@ -1,0 +1,76 @@
+"""Vectorized pandas/Arrow UDFs — the ONLY Python that touches row data.
+
+Per BASELINE.json input_hint: no per-row Python UDFs; everything here
+is Arrow-batched (`pandas_udf`), with models loaded once per executor
+python worker via singletons (SURVEY.md §2.2 UDF surface).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import rules
+from .models.langid import LangIdModel
+from .models.minhash import band_hashes, signature
+from .models.ngram_lm import NgramLM
+
+# --- score: langid + perplexity in ONE Arrow batch pass (broadcast-
+# model apply — the ApplyBQSR analog, bamMergePreprocessing.wdl:829-878)
+
+_SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("lang_detected", T.StringType()),
+        T.StructField("langid_conf", T.DoubleType()),
+        T.StructField("perplexity", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_SCORE_SCHEMA)
+def score_udf(content: pd.Series) -> pd.DataFrame:
+    m = LangIdModel.get()        # executor singleton: one load per worker
+    lm = NgramLM.get()
+    langs, confs = m.predict_batch(content.tolist())
+    ppl = lm.batch(content.tolist())
+    return pd.DataFrame(
+        {"lang_detected": langs, "langid_conf": confs, "perplexity": ppl}
+    )
+
+
+# --- MinHash LSH band keys (near-dup candidate generation) ---
+
+
+def _bands_of(text, n_perms: int, n_bands: int, k: int):
+    sig = signature(text if isinstance(text, str) else "", n_perms, k)
+    return None if sig is None else band_hashes(sig, n_bands)
+
+
+def make_bands_udf(n_perms: int, n_bands: int, k: int):
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bands_udf(content: pd.Series) -> pd.Series:
+        return content.map(lambda t: _bands_of(t, n_perms, n_bands, k))
+
+    return bands_udf
+
+
+# --- scrub: ordered regex pack, byte-exact with the oracle (same
+# compiled patterns from bmpp.rules — SURVEY.md §7 hard part (a)) ---
+
+_SCRUB_SCHEMA = T.StructType(
+    [
+        T.StructField("content_scrubbed", T.StringType()),
+        T.StructField("scrub_count", T.IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(_SCRUB_SCHEMA)
+def scrub_udf(content: pd.Series) -> pd.DataFrame:
+    scrubbed, counts = [], []
+    for t in content:
+        s, n = rules.scrub(t if isinstance(t, str) else "")
+        scrubbed.append(s)
+        counts.append(n)
+    return pd.DataFrame({"content_scrubbed": scrubbed, "scrub_count": counts})

@@ -1,0 +1,88 @@
+"""spark-submit entry point (north_rule: `spark-submit --py-files`).
+
+Usage:
+  spark-submit [--master local[N]] run_pipeline.py \
+      --input <parquet dir | synth:ROWS> --output <dir> \
+      [--checkpoints <dir>] [--no-filter --no-dedup --no-near-dedup
+       --no-score --no-scrub --remove-duplicates]
+
+Reads the corpus table (repo, path, commit, lang, content), runs
+filter→dedup→score→scrub, writes the finalized table regrouped by
+repo-bucket plus metrics tables, prints a one-line JSON run report.
+
+Cromwell-CLI analog (README.md:18-20 `java -jar cromwell.jar run ...
+--inputs inputs.json`): one command, flag-driven plan, resumable via
+--checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True,
+                   help="parquet directory, or synth:N for N generated rows")
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoints", default=None,
+                   help="snapshot dir: stages commit here and reruns resume")
+    p.add_argument("--no-filter", action="store_true")
+    p.add_argument("--no-dedup", action="store_true")
+    p.add_argument("--no-near-dedup", action="store_true")
+    p.add_argument("--no-score", action="store_true")
+    p.add_argument("--no-scrub", action="store_true")
+    p.add_argument("--remove-duplicates", action="store_true")
+    p.add_argument("--buckets", type=int, default=32)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from bmpp import corpus, metrics, rules
+    from bmpp.io import ParquetSnapshotIO
+    from bmpp.operators import regroup_write
+    from bmpp.pipeline import build_plan, run_resumable
+
+    spark = SparkSession.builder.appName("bmpp-run").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    cfg = rules.PipelineConfig(
+        do_filter=not args.no_filter,
+        do_dedup=not args.no_dedup,
+        do_near_dedup=not args.no_near_dedup,
+        do_score=not args.no_score,
+        do_scrub=not args.no_scrub,
+        remove_duplicates=args.remove_duplicates,
+    )
+
+    if args.input.startswith("synth:"):
+        df = corpus.corpus_df(spark, int(args.input.split(":", 1)[1])).drop("plant")
+    else:
+        df = spark.read.parquet(args.input)
+
+    t0 = time.time()
+    if args.checkpoints:
+        result = run_resumable(spark, df, cfg, ParquetSnapshotIO(args.checkpoints))
+    else:
+        result = build_plan(df, cfg)
+
+    regroup_write(result, f"{args.output}/code_files_processed", args.buckets)
+    final = spark.read.parquet(f"{args.output}/code_files_processed")
+    metrics.group_metrics(final).write.mode("overwrite").parquet(
+        f"{args.output}/metrics_by_group"
+    )
+    metrics.reason_metrics(final).write.mode("overwrite").parquet(
+        f"{args.output}/metrics_by_reason"
+    )
+    report = metrics.run_report(final)
+    report["wall_sec"] = round(time.time() - t0, 2)
+    report["config_hash"] = cfg.config_hash()
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,56 @@
+"""Offline model training (BaseRecalibrator analog — learn the table
+once, ship it, broadcast-apply everywhere). Deterministic: fixed seed,
+no wall clock. Writes bmpp/resources/{langid,ngram_lm}.npz.
+
+Run: python scripts/train_models.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from bmpp import corpus
+from bmpp.models import langid, ngram_lm
+
+
+def main() -> None:
+    samples = corpus.training_samples(per_lang=200, seed=7)
+
+    langs, W = langid.train(samples)
+    langid.save(langid.RESOURCE, langs, W)
+    print(f"langid: {len(langs)} langs, W {W.shape} -> {langid.RESOURCE}")
+
+    all_texts = [t for texts in samples.values() for t in texts]
+    c2, c3 = ngram_lm.train(all_texts)
+    ngram_lm.save(ngram_lm.RESOURCE, c2, c3)
+    print(f"ngram_lm: c2/c3 {c2.shape} -> {ngram_lm.RESOURCE}")
+
+    # quick self-check on held-out corpus rows
+    m = langid.LangIdModel(langid.RESOURCE)
+    lm = ngram_lm.NgramLM(ngram_lm.RESOURCE)
+    rows = corpus.gen_rows(800, seed=corpus.SEED)
+    ok = tot = 0
+    ppl_clean, ppl_garbage, confs = [], [], []
+    for r in rows:
+        if r["plant"] == "clean":
+            pred, conf = m.predict_one(r["content"])
+            ok += pred == r["lang"]
+            tot += 1
+            confs.append(conf)
+            ppl_clean.append(lm.log2_perplexity(r["content"]))
+        elif r["plant"] == "garbage":
+            ppl_garbage.append(lm.log2_perplexity(r["content"]))
+    print(f"langid acc on clean: {ok}/{tot} = {ok / max(tot, 1):.4f}; "
+          f"median conf {np.median(confs):.3f}")
+    print(f"ppl clean: p50={np.median(ppl_clean):.2f} p99={np.percentile(ppl_clean, 99):.2f}; "
+          f"ppl garbage: p1={np.percentile(ppl_garbage, 1):.2f} "
+          f"p50={np.median(ppl_garbage):.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""End-to-end: Spark pipeline vs pure-Python oracle (SURVEY.md §5).
+
+Golden-output regression in the reference's style: order-insensitive,
+content-hash based (tests/calculate.sh + compare.sh analog). Gates:
+- keep/drop F1 ≥ 0.99 (BASELINE.json; expected 1.0 — same rules module)
+- scrubbed text byte-exact per row (sha256 equality, input_hint)
+- dedup/near-dup flags identical
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from bmpp import corpus, oracle, rules
+from bmpp.pipeline import build_plan
+
+N = 1200
+
+
+@pytest.fixture(scope="module")
+def oracle_rows():
+    return {
+        oracle.doc_key(r): o
+        for r, o in zip(
+            corpus.gen_rows(N), oracle.process(corpus.gen_rows(N))
+        )
+    }
+
+
+@pytest.fixture(scope="module")
+def spark_rows(spark):
+    df = corpus.corpus_df(spark, N, partitions=8).drop("plant")
+    out = build_plan(df, rules.PipelineConfig()).collect()
+    return {r["doc_key"]: r.asDict() for r in out}
+
+
+def test_row_counts(spark_rows, oracle_rows):
+    assert len(spark_rows) == len(oracle_rows) == N
+
+
+def test_keep_f1(spark_rows, oracle_rows):
+    tp = fp = fn = agree = 0
+    for k, o in oracle_rows.items():
+        s = spark_rows[k]
+        agree += s["keep"] == o["keep"]
+        tp += s["keep"] and o["keep"]
+        fp += s["keep"] and not o["keep"]
+        fn += (not s["keep"]) and o["keep"]
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"F1={f1} agree={agree}/{len(oracle_rows)}"
+    assert agree == len(oracle_rows)  # expected exact at small scale
+
+
+def test_drop_reasons_exact(spark_rows, oracle_rows):
+    for k, o in oracle_rows.items():
+        assert spark_rows[k]["drop_reasons"] == o["drop_reasons"], k
+
+
+def test_scrub_byte_exact(spark_rows, oracle_rows):
+    """Per-row sha256 equality of scrubbed content (the reference's
+    `samtools view | md5sum` record-stream invariant)."""
+    for k, o in oracle_rows.items():
+        s = spark_rows[k]
+        assert s["content_sha256"] == o["content_sha256"], k
+        got = hashlib.sha256(s["content_scrubbed"].encode()).hexdigest()
+        assert got == o["scrubbed_sha256"], k
+        assert s["scrub_count"] == o["scrub_count"], k
+
+
+def test_dedup_flags_exact(spark_rows, oracle_rows):
+    for k, o in oracle_rows.items():
+        s = spark_rows[k]
+        assert s["is_duplicate"] == o["is_duplicate"], k
+        assert s["dup_of"] == o["dup_of"], k
+        assert s["near_dup_of"] == o["near_dup_of"], k
+
+
+def test_model_columns_exact(spark_rows, oracle_rows):
+    for k, o in oracle_rows.items():
+        s = spark_rows[k]
+        assert s["lang_detected"] == o["lang_detected"], k
+        assert s["langid_conf"] == pytest.approx(o["langid_conf"], abs=0), k
+        assert s["perplexity"] == pytest.approx(o["perplexity"], abs=0), k
+
+
+def test_run_digest_golden(spark_rows, oracle_rows):
+    """Order-insensitive run digest: sorted per-row sha256 stream hashed
+    once (calculate.sh + compare.sh analog)."""
+
+    def digest(rows, keyf):
+        h = hashlib.sha256()
+        for line in sorted(keyf(r) for r in rows):
+            h.update(line.encode())
+        return h.hexdigest()
+
+    d_spark = digest(
+        spark_rows.values(),
+        lambda r: f"{r['doc_key']}|{r['keep']}|{','.join(r['drop_reasons'])}|"
+        f"{hashlib.sha256(r['content_scrubbed'].encode()).hexdigest()}",
+    )
+    d_oracle = digest(
+        oracle_rows.values(),
+        lambda r: f"{r['doc_key']}|{r['keep']}|{','.join(r['drop_reasons'])}|"
+        f"{r['scrubbed_sha256']}",
+    )
+    assert d_spark == d_oracle
