@@ -1,0 +1,800 @@
+"""Driver-contract query catalog: one entry per operator (SURVEY.md §2)
+plus the training-data-pipeline ops, each with a DuckDB oracle where
+SQL-expressible.
+
+Every callable takes (spark, sf_dir) and returns a DataFrame over the
+driver-provided tables (TESTDATA.md). Hash-stability rules (driver
+compares sorted-column value hashes vs DuckDB):
+- computed columns aliased identically on both sides;
+- no raw double aggregates: integer sums, exact decimal sums of
+  per-row-rounded values, or single-division per-row doubles only;
+- timestamps surfaced as epoch integers (TZ-proof);
+- DuckDB BIGINT sums cast back from HUGEINT explicitly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from . import rules
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# pipeline operators over `documents` (SURVEY.md §2.1)
+# =====================================================================
+
+
+def q_filter_heuristics(spark, sf_dir):
+    """Op #2 (samtools view -F/-q filter, wdl:339-376): ANDed quality
+    predicates from JVM-side heuristic columns; flag, don't drop."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double") / \
+        F.greatest(F.length("text"), F.lit(1))
+    mean_tok = (
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+        / F.size(toks)
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        F.size(toks).alias("n_tokens"),
+        alpha.alias("alpha_ratio"),
+        mean_tok.alias("mean_token_len"),
+        (
+            (alpha >= rules.MIN_ALPHA_RATIO)
+            & (F.length("text") <= 2000)
+            & (F.size(toks) >= 10)
+        ).alias("keep"),
+    )
+
+
+SQL_FILTER_HEURISTICS = """
+SELECT doc_id,
+       length(text) AS len_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         / greatest(length(text), 1) AS alpha_ratio,
+       CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS mean_token_len,
+       (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) >= 0.25
+        AND length(text) <= 2000
+        AND len(string_split(text, ' ')) >= 10) AS keep
+FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Op #3 (MarkDuplicates, wdl:378-396): group by content signature,
+    keep best (min doc_id), flag the rest — REMOVE_DUPLICATES=false."""
+    d = _t(spark, sf_dir, "documents").withColumn("content_hash", F.md5("text"))
+    w = W.partitionBy("content_hash")
+    return d.select(
+        "doc_id",
+        "content_hash",
+        (F.count(F.lit(1)).over(w) > 1).alias("in_dup_group"),
+        F.when(
+            (F.count(F.lit(1)).over(w) > 1)
+            & (F.col("doc_id") != F.min("doc_id").over(w)),
+            F.min("doc_id").over(w),
+        ).alias("dup_of"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id, content_hash,
+       (cnt > 1) AS in_dup_group,
+       CASE WHEN cnt > 1 AND doc_id != rep THEN rep END AS dup_of
+FROM (
+  SELECT doc_id, md5(text) AS content_hash,
+         count(*) OVER (PARTITION BY md5(text)) AS cnt,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+  FROM documents)
+"""
+
+
+def q_split_records(spark, sf_dir):
+    """Op #4 (SplitNCigarReads, wdl:398-416): record splitter — one
+    input row explodes into per-token records with position."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ", -1)).alias("pos", "token")
+        )
+        .withColumn("pos", F.col("pos") + 1)
+        .filter(F.col("pos") <= 8)
+    )
+
+
+SQL_SPLIT_RECORDS = """
+SELECT doc_id, pos, token FROM (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents)
+WHERE pos <= 8
+"""
+
+
+def q_merge_sorted(spark, sf_dir):
+    """Ops #5/#6 (MergeSamFiles / mergeBams, wdl:418-428,486-536):
+    k-way UNION of per-lane slices, order restored at write via
+    sortWithinPartitions (sort key carried in output for the check)."""
+    d = _t(spark, sf_dir, "documents")
+    lane0 = d.filter(F.col("doc_id") % 2 == 0).withColumn("lane", F.lit(0))
+    lane1 = d.filter(F.col("doc_id") % 2 == 1).withColumn("lane", F.lit(1))
+    return (
+        lane0.unionByName(lane1)
+        .repartition(8, "source")
+        .sortWithinPartitions("source", "doc_id")
+        .select("doc_id", "source", "lane", "n_chars")
+    )
+
+
+SQL_MERGE_SORTED = """
+SELECT doc_id, source, CAST(doc_id % 2 AS INT) AS lane, n_chars FROM documents
+"""
+
+
+def q_scrub_candidates(spark, sf_dir):
+    """Op #7 (RealignerTargetCreator, wdl:538-597): cheap detect pass
+    marking rows that need a rewrite (here: articles to normalize)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("text").rlike("\\b(a|the)\\b").alias("is_candidate"),
+        F.regexp_count("text", F.lit("\\b(a|the)\\b")).cast("int").alias("n_spans"),
+    )
+
+
+SQL_SCRUB_CANDIDATES = """
+SELECT doc_id,
+       regexp_matches(text, '\\b(a|the)\\b') AS is_candidate,
+       CAST(len(regexp_extract_all(text, '\\b(a|the)\\b')) AS INT) AS n_spans
+FROM documents
+"""
+
+
+def q_scrub_apply(spark, sf_dir):
+    """Op #8 (IndelRealigner, wdl:599-679): content rewrite with
+    lineage columns untouched; hash of rewritten text is the invariant."""
+    d = _t(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace("text", "\\b(a|the)\\b", "<ART>")
+    return d.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_hash"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.regexp_count("text", F.lit("\\b(a|the)\\b")).cast("int").alias("scrub_count"),
+    )
+
+
+SQL_SCRUB_APPLY = """
+SELECT doc_id,
+       md5(regexp_replace(text, '\\b(a|the)\\b', '<ART>', 'g')) AS scrubbed_hash,
+       length(regexp_replace(text, '\\b(a|the)\\b', '<ART>', 'g')) AS scrubbed_len,
+       CAST(len(regexp_extract_all(text, '\\b(a|the)\\b')) AS INT) AS scrub_count
+FROM documents
+"""
+
+
+def q_score_partial(spark, sf_dir):
+    """Op #9 (BaseRecalibrator per interval, wdl:681-737): per-partition
+    (source ≈ interval) partial covariate stats — Catalyst partial+final
+    hash aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_SCORE_PARTIAL = """
+SELECT source, lang, count(*) AS docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY source, lang
+"""
+
+
+def q_score_gather(spark, sf_dir):
+    """Op #10 (GatherBQSRReports, wdl:739-782): merge the partials into
+    the final per-lang table — the second-level aggregation."""
+    partial = q_score_partial(spark, sf_dir)
+    return partial.groupBy("lang").agg(
+        F.sum("docs").alias("docs"),
+        F.sum("sum_chars").alias("sum_chars"),
+        F.min("min_chars").alias("min_chars"),
+        F.max("max_chars").alias("max_chars"),
+    )
+
+
+SQL_SCORE_GATHER = """
+SELECT lang, count(*) AS docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_score_apply(spark, sf_dir):
+    """Op #12 (ApplyBQSR, wdl:829-878): broadcast the gathered table
+    back against every record — embarrassingly parallel rewrite."""
+    d = _t(spark, sf_dir, "documents")
+    gathered = d.groupBy("lang").agg(
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("lang_mean_chars")
+    )
+    return d.join(F.broadcast(gathered), "lang").select(
+        "doc_id",
+        "lang",
+        "lang_mean_chars",
+        (F.col("n_chars") - F.col("lang_mean_chars")).alias("chars_delta"),
+        (F.col("n_chars") >= F.col("lang_mean_chars")).alias("above_mean"),
+    )
+
+
+SQL_SCORE_APPLY = """
+WITH g AS (
+  SELECT lang, CAST(sum(n_chars) AS DOUBLE) / count(*) AS lang_mean_chars
+  FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, g.lang_mean_chars,
+       d.n_chars - g.lang_mean_chars AS chars_delta,
+       d.n_chars >= g.lang_mean_chars AS above_mean
+FROM documents d JOIN g USING (lang)
+"""
+
+
+def q_metrics_report(spark, sf_dir):
+    """Op #11 (AnalyzeCovariates report, wdl:784-827): run-level metrics
+    rollup — the flagstat/metrics-table analog."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("bytes_total"),
+        F.sum((F.col("n_chars") > 300).cast("long")).alias("rows_over_300"),
+    )
+
+
+SQL_METRICS_REPORT = """
+SELECT lang, count(*) AS rows, count(DISTINCT source) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS bytes_total,
+       CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS rows_over_300
+FROM documents GROUP BY lang
+"""
+
+
+def q_collect_by_group(spark, sf_dir):
+    """Op #13 (collectFilesBySample, wdl:880-955): regroup the flat list
+    by group key + the exactly-one-stem uniqueness assertion as a
+    data-quality column."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.countDistinct("source") == 1).alias("stem_unique"),
+    )
+
+
+SQL_COLLECT_BY_GROUP = """
+SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc, count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) = 1 AS stem_unique
+FROM documents GROUP BY source
+"""
+
+
+# =====================================================================
+# relational engine breadth (scans/joins/aggs/windows/sorts/set ops —
+# SURVEY.md §2.2) over the TPC-H-ish tables
+# =====================================================================
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter + groupBy + exact-decimal sums
+    (per-row round→decimal keeps the oracle hash-identical)."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+        "decimal(18,4)"
+    )
+    return (
+        l.filter(F.col("l_shipdate") < "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(rev).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_segment(spark, sf_dir):
+    """Join chain orders⋈customer (broadcast dim) + exact-decimal agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(price).cast("double").alias("revenue"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+SQL_REVENUE_BY_SEGMENT = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_customers_per_region(spark, sf_dir):
+    """Two-hop broadcast star join: customer⋈nation⋈region."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+    )
+
+
+SQL_CUSTOMERS_PER_REGION = """
+SELECT r_name, count(*) AS n_customers, count(DISTINCT n_name) AS n_nations
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_top_orders_per_priority(spark, sf_dir):
+    """Window top-k: row_number over (priority) ordered by price desc
+    with deterministic orderkey tie-break (MarkDuplicates keep-best
+    shape, SURVEY.md §2.2 windows)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("o_orderpriority", "rnk", "o_orderkey")
+    )
+
+
+SQL_TOP_ORDERS_PER_PRIORITY = """
+SELECT o_orderpriority, rnk, o_orderkey FROM (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders)
+WHERE rnk <= 5
+"""
+
+
+def q_semi_anti_join(spark, sf_dir):
+    """Left-semi + left-anti: customers with vs without orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit(True).alias("has_orders")
+    )
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit(False).alias("has_orders")
+    )
+    return with_orders.unionByName(without)
+
+
+SQL_SEMI_ANTI_JOIN = """
+SELECT c_custkey, TRUE AS has_orders FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, FALSE AS has_orders FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Time-window aggregation over events (epoch-int output, exact
+    cent sums — TZ/float-proof)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: lag + gap>30min cumulative session ids per user
+    (classic stateful shape done with windows — SURVEY.md §2.2)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; cast via session TZ (pinned UTC) so
+    # epoch micros equal DuckDB's naive-as-UTC epoch_us()
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = us - F.lag(us, 1).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("session_id", F.sum(new_sess).over(w))
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, event_id,
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)
+              > 1800 * 1000000 OR
+              lag(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """Scalar-function surface: regex field extraction from the props
+    JSON strings (read_json analog, wdl:936)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", "([0-9]+)", 1).cast("int").alias("k"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_json"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id,
+       CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_json
+FROM events
+"""
+
+
+# =====================================================================
+# training-data pipeline ops (dedup / similarity / text analysis)
+# =====================================================================
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace + a BPE-ish subword regex count."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", "\\s+", -1)).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast(
+            "int"
+        ).alias("n_bpeish_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       len(regexp_split_to_array(text, '\\s+')) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+         AS n_bpeish_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: stopword ratio + length features → composite
+    (per-row single-expression doubles: hash-stable)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "to"))
+    ).cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        stop.alias("stopword_ratio"),
+        (F.length("text").cast("double") / F.size(toks)).alias("chars_per_token"),
+        (stop >= 0.02).alias("looks_natural"),
+    )
+
+
+SQL_QUALITY_SCORE = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+            x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS stopword_ratio,
+       CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
+       CAST(len(list_filter(string_split(text, ' '),
+            x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+         / len(string_split(text, ' ')) >= 0.02 AS looks_natural
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting: hash of whitespace-normalized lowercase
+    text (content-defined identity for fuzzy-exact dedup)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower("text"), "\\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.split("text", " ", -1)))).alias(
+            "bag_fingerprint"
+        ),
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+       md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag_fingerprint
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram (token-set) Jaccard for doc pairs (doc_id < 40):
+    the brute-force near-dup baseline the MinHash path approximates."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " ", -1))).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents WHERE doc_id < 40),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k over the embedding column: for each
+    query vector (vec_id < 5), the 5 nearest neighbors by cosine.
+    Rank-only output (sim gaps ~2e-4 ≫ float error). Broadcast the
+    query side; at scale this is the exact-rerank half of IVF/LSH ANN."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nv = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    nq = F.sqrt(
+        F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    sims = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", (dot / (nv * nq)).alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qv) AS cos
+  FROM embeddings e, q WHERE e.vec_id != q.query_id)
+SELECT query_id, vec_id AS neighbor_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM sims)
+WHERE rank <= 5
+"""
+
+
+def q_embedding_stats(spark, sf_dir):
+    """Vector-column analytics: per-label centroid norm proxy via exact
+    integer math on quantized components (hash-stable at any scale)."""
+    e = _t(spark, sf_dir, "embeddings")
+    quant = F.aggregate(
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(quant).alias("sum_quant_components"),
+    )
+
+
+SQL_EMBEDDING_STATS = """
+SELECT label, count(*) AS n_vecs,
+       CAST(sum(list_sum(list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))) AS BIGINT)
+         AS sum_quant_components
+FROM embeddings GROUP BY label
+"""
+
+
+# ---- non-SQL-expressible ops (rows-only driver check) ----
+
+
+def q_minhash_neardup(spark, sf_dir):
+    """MinHash-LSH near-dup marking over documents (model-backed UDF —
+    no SQL oracle; exactness vs the pure-Python oracle is covered by
+    tests/test_pipeline_vs_oracle.py on the planted corpus)."""
+    from .udfs import make_bands_udf
+
+    d = _t(spark, sf_dir, "documents")
+    bands_udf = make_bands_udf(64, 8, 5)
+    pairs = d.select(
+        "doc_id", F.explode(bands_udf(F.col("text"))).alias("band_hash")
+    )
+    buckets = (
+        pairs.groupBy("band_hash")
+        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    cands = (
+        pairs.join(buckets, "band_hash")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("near_dup_of"))
+    )
+    return d.select("doc_id").join(cands, "doc_id", "left")
+
+
+def q_langid(spark, sf_dir):
+    """fastText-style langid + perplexity scoring over documents
+    (Arrow-batched UDF, executor-singleton model — no SQL oracle)."""
+    from .udfs import score_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", score_udf(F.col("text")).alias("s")).select(
+        "doc_id",
+        "lang",
+        F.col("s.lang_detected").alias("lang_detected"),
+        F.col("s.langid_conf").alias("langid_conf"),
+        F.col("s.perplexity").alias("perplexity"),
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash over char-4-gram features (Charikar 2002) —
+    UDF-backed, no SQL oracle; hamming-adjacent docs are near-dup
+    candidates."""
+    from .udfs import simhash_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+CATALOG: dict[str, tuple[Callable, str | None]] = {
+    # pipeline operators (SURVEY.md §2.1 #2-#13)
+    "filter_heuristics": (q_filter_heuristics, SQL_FILTER_HEURISTICS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "split_records": (q_split_records, SQL_SPLIT_RECORDS),
+    "merge_sorted": (q_merge_sorted, SQL_MERGE_SORTED),
+    "scrub_candidates": (q_scrub_candidates, SQL_SCRUB_CANDIDATES),
+    "scrub_apply": (q_scrub_apply, SQL_SCRUB_APPLY),
+    "score_partial": (q_score_partial, SQL_SCORE_PARTIAL),
+    "score_gather": (q_score_gather, SQL_SCORE_GATHER),
+    "score_apply": (q_score_apply, SQL_SCORE_APPLY),
+    "metrics_report": (q_metrics_report, SQL_METRICS_REPORT),
+    "collect_by_group": (q_collect_by_group, SQL_COLLECT_BY_GROUP),
+    # relational breadth (§2.2)
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "revenue_by_segment": (q_revenue_by_segment, SQL_REVENUE_BY_SEGMENT),
+    "customers_per_region": (q_customers_per_region, SQL_CUSTOMERS_PER_REGION),
+    "top_orders_per_priority": (q_top_orders_per_priority, SQL_TOP_ORDERS_PER_PRIORITY),
+    "semi_anti_join": (q_semi_anti_join, SQL_SEMI_ANTI_JOIN),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    # training-data ops
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
+    # non-SQL-expressible (rows-only check)
+    "minhash_neardup": (q_minhash_neardup, None),
+    "langid_score": (q_langid, None),
+    "simhash": (q_simhash, None),
+}

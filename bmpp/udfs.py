@@ -58,6 +58,32 @@ def make_bands_udf(n_perms: int, n_bands: int, k: int):
 # --- scrub: ordered regex pack, byte-exact with the oracle (same
 # compiled patterns from bmpp.rules — SURVEY.md §7 hard part (a)) ---
 
+# --- SimHash (Charikar 2002): 64-bit fingerprint; hamming-adjacent
+# docs are near-dup candidates ---
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    import numpy as np
+
+    from .models.hashing import bytes_array, ngram_hashes
+
+    out = []
+    for t in texts:
+        h = ngram_hashes(bytes_array((t or "").lower()), 4)
+        if len(h) == 0:
+            out.append(0)
+            continue
+        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        val = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                val |= np.uint64(1) << np.uint64(i)
+        out.append(int(val.astype(np.int64)))
+    return pd.Series(out, dtype="int64")
+
+
 _SCRUB_SCHEMA = T.StructType(
     [
         T.StructField("content_scrubbed", T.StringType()),

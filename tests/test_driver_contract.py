@@ -1,0 +1,78 @@
+"""Local replica of the driver's correctness gate: every queries()
+entry runs at sf0.01 and, when an oracle_sql() entry exists, must match
+DuckDB exactly — row count, sorted column names, and order-insensitive
+values (floats compared exactly after 1e-9 rounding guard)."""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(SF_DIR) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_vs_oracle(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+    assert len(srows) > 0, f"{name}: empty Spark result"
+    if name not in ORACLES:
+        return  # rows-only check, like the driver
+    ores = ddb.execute(ORACLES[name])
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch"
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
+    sset = _rowset(scols, [[r[c] for c in scols] for r in srows])
+    oset = _rowset(ocols, orows)
+    mism = [i for i, (a, b) in enumerate(zip(sset, oset)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} row mismatches; first: "
+        f"spark={sset[mism[0]]!r} oracle={oset[mism[0]]!r}"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.limit(600).collect()
+    assert len(rows) == 500
+    assert "keep" in df.columns and "content_scrubbed" in df.columns
