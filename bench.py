@@ -1,0 +1,89 @@
+"""Headline benchmark (driver-run per round → BENCH_r{N}.json).
+
+Runs the full quality-filter pipeline on a deterministic synthetic
+corpus plus every SQL-checked catalog query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], executing
+each plan to completion via the noop sink (no driver collect).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from bmpp import corpus, rules  # noqa: E402
+from bmpp.pipeline import build_plan  # noqa: E402
+from bmpp.queries import CATALOG  # noqa: E402
+from bmpp.session import get_spark  # noqa: E402
+
+PIPELINE_ROWS = int(os.environ.get("BMPP_BENCH_ROWS", "100000"))
+
+
+def _exec(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app="bmpp-bench", cores=cores)
+
+    timings: dict[str, float] = {}
+
+    # --- flagship: full pipeline over a synthetic code corpus ---
+    # corpus generation is timed separately so pipeline_sec measures
+    # the engine, not the generator
+    gen_dir = f"/tmp/bmpp_bench_corpus_{PIPELINE_ROWS}"
+    if not Path(gen_dir, "_SUCCESS").exists():
+        t0 = time.time()
+        corpus.corpus_df(spark, PIPELINE_ROWS, partitions=4 * cores).drop(
+            "plant"
+        ).write.mode("overwrite").parquet(gen_dir)
+        timings["corpus_gen"] = round(time.time() - t0, 3)
+    src = spark.read.parquet(gen_dir)
+
+    # warmup: JIT + python-worker spin-up on a tiny slice, so timings
+    # measure the engine rather than first-job session startup
+    _exec(build_plan(corpus.corpus_df(spark, 2000, partitions=cores).drop("plant"),
+                     rules.PipelineConfig()))
+
+    t0 = time.time()
+    result = build_plan(src, rules.PipelineConfig())
+    _exec(result)
+    pipeline_sec = time.time() - t0
+    timings["pipeline_100k"] = round(pipeline_sec, 3)
+
+    # --- catalog queries at sf_dir ---
+    for name, (fn, _sql) in sorted(CATALOG.items()):
+        t0 = time.time()
+        _exec(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(v for k, v in timings.items() if k != "corpus_gen"), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline+catalog wall clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "pipeline_rows": PIPELINE_ROWS,
+                "pipeline_rows_per_sec": round(PIPELINE_ROWS / pipeline_sec, 1),
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,20 @@ def bucketize(h: np.ndarray, n_buckets: int) -> np.ndarray:
     )
 
 
+def char_ngram_ids(text: str, n_buckets: int, ns=(1, 2, 3)) -> np.ndarray:
+    """All hashed char-ngram bucket ids of ``text`` (with repeats), as
+    int64 — the sparse counterpart of char_ngram_counts."""
+    b = bytes_array(text.lower())
+    parts = []
+    for n in ns:
+        h = ngram_hashes(b, n)
+        if len(h):
+            parts.append((h % np.uint64(n_buckets)).astype(np.int64))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(parts)
+
+
 def char_ngram_counts(text: str, n_buckets: int, ns=(1, 2, 3)) -> np.ndarray:
     """Hashed char-ngram bag-of-features vector (float64, length n_buckets)."""
     b = bytes_array(text.lower())

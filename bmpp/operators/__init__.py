@@ -1,17 +1,16 @@
+from .dedup import dup_flags, with_keys
 from .filter import filter_stage, with_heuristics
-from .dedup import dedup_stage
-from .neardup import near_dedup_stage
-from .score import score_stage
-from .scrub import scrub_stage
+from .neardup import near_flags
 from .regroup import finalize, regroup_write
+from .score import score_reasons
 
 __all__ = [
     "with_heuristics",
     "filter_stage",
-    "dedup_stage",
-    "near_dedup_stage",
-    "score_stage",
-    "scrub_stage",
+    "with_keys",
+    "dup_flags",
+    "near_flags",
+    "score_reasons",
     "finalize",
     "regroup_write",
 ]

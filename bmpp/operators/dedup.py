@@ -40,28 +40,27 @@ def with_keys(df: DataFrame) -> DataFrame:
     ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
 
-def dedup_stage(df: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
-    df = with_keys(df)
-    if not cfg.do_dedup:
-        return df.withColumn("is_duplicate", F.lit(False)).withColumn(
-            "dup_of", F.lit(None).cast("string")
-        )
-
+def dup_flags(slim: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
+    """Slim flag table from (content_sha256, doc_key): one row per
+    member of a duplicate group → (doc_key, is_duplicate, dup_of,
+    dup_group_size). Unique rows produce NO output row — the final
+    left join fills defaults — so the table that joins back to the
+    wide data is proportional to the dup rate, not the corpus, and AQE
+    can usually broadcast it."""
     salt = F.pmod(F.xxhash64("doc_key"), F.lit(cfg.dedup_salt_buckets))
-    partial = (
-        df.select("content_sha256", "doc_key")
-        .groupBy("content_sha256", salt.alias("_salt"))
-        .agg(F.min("doc_key").alias("_cand"), F.count(F.lit(1)).alias("_cnt"))
+    partial = slim.groupBy("content_sha256", salt.alias("_salt")).agg(
+        F.min("doc_key").alias("_cand"), F.count(F.lit(1)).alias("_cnt")
     )
-    groups = partial.groupBy("content_sha256").agg(
-        F.min("_cand").alias("_dup_rep"), F.sum("_cnt").alias("dup_group_size")
+    groups = (
+        partial.groupBy("content_sha256")
+        .agg(F.min("_cand").alias("_rep"), F.sum("_cnt").alias("dup_group_size"))
+        .filter(F.col("dup_group_size") > 1)
     )
-    out = df.join(groups, "content_sha256", "left")
-    return (
-        out.withColumn(
-            "is_duplicate",
-            (F.col("dup_group_size") > 1) & (F.col("doc_key") != F.col("_dup_rep")),
-        )
-        .withColumn("dup_of", F.when(F.col("is_duplicate"), F.col("_dup_rep")))
-        .drop("_dup_rep")
+    # probe-side shuffle on content_sha256 is the skewed one (mega-
+    # group); it is a JOIN, so AQE skewJoin splits it at runtime.
+    return slim.join(groups, "content_sha256").select(
+        "doc_key",
+        (F.col("doc_key") != F.col("_rep")).alias("is_duplicate"),
+        F.when(F.col("doc_key") != F.col("_rep"), F.col("_rep")).alias("dup_of"),
+        "dup_group_size",
     )

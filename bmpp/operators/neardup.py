@@ -19,21 +19,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import rules
-from ..udfs import make_bands_udf
 
 
-def near_dedup_stage(df: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
-    if not cfg.do_near_dedup:
-        return df.withColumn("near_dup_of", F.lit(None).cast("string"))
-
-    bands_udf = make_bands_udf(cfg.minhash_perms, cfg.lsh_bands, cfg.shingle_k)
-    eligible = df.filter(~F.col("is_duplicate")).select(
-        "doc_key", bands_udf(F.col("content")).alias("_bands")
+def near_flags(
+    bands_slim: DataFrame, dup_keys: DataFrame, cfg: rules.PipelineConfig
+) -> DataFrame:
+    """Slim flag table from (doc_key, minhash_bands): (doc_key,
+    near_dup_of) for flagged rows only. ``dup_keys`` (doc_key of exact
+    duplicates) are excluded via anti join — the exact-dup group
+    representative still participates, mirroring markdup→optical
+    layering. The bands column is precomputed (fused enrich UDF), so
+    both uses of ``pairs`` are cheap JVM explodes, not UDF reruns."""
+    pairs = (
+        bands_slim.join(dup_keys, "doc_key", "left_anti")
+        .filter(F.col("minhash_bands").isNotNull())
+        .select("doc_key", F.explode("minhash_bands").alias("band_hash"))
     )
-    pairs = eligible.select(
-        "doc_key", F.explode("_bands").alias("band_hash")
-    )
-
     salt = F.pmod(F.xxhash64("doc_key"), F.lit(cfg.dedup_salt_buckets))
     partial = pairs.groupBy("band_hash", salt.alias("_salt")).agg(
         F.min("doc_key").alias("_cand"), F.count(F.lit(1)).alias("_cnt")
@@ -43,10 +44,9 @@ def near_dedup_stage(df: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
         .agg(F.min("_cand").alias("_rep"), F.sum("_cnt").alias("_n"))
         .filter(F.col("_n") > 1)
     )
-    cands = (
+    return (
         pairs.join(buckets, "band_hash")
         .filter(F.col("doc_key") != F.col("_rep"))
         .groupBy("doc_key")
         .agg(F.min("_rep").alias("near_dup_of"))
     )
-    return df.join(cands, "doc_key", "left")

@@ -1,14 +1,13 @@
-"""Score stage — broadcast-model apply + model-based reason codes.
+"""Score reasons — model-based drop rules over the enriched columns.
 
 BQSR analog: the model artifacts (langid weights, ngram counts) are
 the *gathered recalibration table* — learned offline (partial counts →
 merge, scripts/train_models.py ≈ BaseRecalibrator→GatherBQSRReports,
-bamMergePreprocessing.wdl:681-782), shipped to executors once
-(SparkFiles/--py-files), and applied embarrassingly-parallel per row
-(ApplyBQSR scatter, wdl:829-878) via one Arrow-batched UDF.
-
-Toxicity counting stays JVM-side (regexp_count with a case-insensitive
-word-boundary pattern — the lexicon is tiny, compiled once by codegen).
+bamMergePreprocessing.wdl:681-782), shipped to executors once and
+applied embarrassingly-parallel (ApplyBQSR scatter, wdl:829-878) via
+the fused enrich UDF (bmpp.udfs.make_enrich_udf). This module adds the
+JVM-side pieces: toxicity counting (regexp_count — the lexicon is
+tiny, compiled once by codegen) and the reason-code predicates.
 """
 
 from __future__ import annotations
@@ -19,26 +18,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import rules
-from ..udfs import score_udf
 
 _TOX_PATTERN = (
     "(?i)\\b(" + "|".join(re.escape(w) for w in rules.TOXICITY_LEXICON) + ")\\b"
 )
 
 
-def score_stage(df: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
+def score_reasons(df: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
+    """Adds toxic_hits + the model-based reason array. Expects
+    lang_detected/langid_conf/perplexity columns (fused enrich UDF)."""
     if not cfg.do_score:
-        return (
-            df.withColumn("lang_detected", F.lit(None).cast("string"))
-            .withColumn("langid_conf", F.lit(None).cast("double"))
-            .withColumn("perplexity", F.lit(None).cast("double"))
-            .withColumn("toxic_hits", F.lit(None).cast("int"))
-            .withColumn("_reasons_score", F.array().cast("array<string>"))
+        return df.withColumn("toxic_hits", F.lit(None).cast("int")).withColumn(
+            "_reasons_score", F.array().cast("array<string>")
         )
-
-    df = df.withColumn("_score", score_udf(F.col("content"))).select(
-        "*", "_score.*"
-    ).drop("_score")
     df = df.withColumn(
         "toxic_hits", F.regexp_count(F.col("content"), F.lit(_TOX_PATTERN)).cast("int")
     )

@@ -1,41 +1,144 @@
-"""Pipeline orchestration: filter → dedup → near-dup → score → scrub →
-finalize (the reference's filter→markdup→merge→realign→recalibrate DAG,
-SURVEY.md §3, re-staged per BASELINE.json north_star).
+"""Pipeline orchestration (SURVEY.md §3, BASELINE.json north_star):
 
-Stages are pure ``DataFrame -> DataFrame`` functions; plan-time flags
-(``PipelineConfig``) prune whole stages exactly like the WDL's
-``if(doX)`` + ``select_first`` branch pruning
-(bamMergePreprocessing.wdl:128,151,166) — dead branches never reach
-Catalyst.
+  enrich   — ALL per-row work in one pass: JVM heuristic columns +
+             keys/hashes + ONE fused Arrow UDF (langid, perplexity,
+             MinHash bands, scrub). Content crosses to Python once.
+  flags    — slim aggregation tables: exact-dup flags (salted two-phase
+             groupBy on content hash) and near-dup flags (LSH band
+             buckets). Proportional to dup rate, not corpus size.
+  assemble — one wide left join of flags onto the enriched table (AQE
+             broadcasts the flag side when small, splits skewed
+             partitions otherwise) + finalize reasons/keep.
+
+Plan-time flags prune whole stages exactly like the WDL's ``if(doX)``
++ ``select_first`` branch pruning (bamMergePreprocessing.wdl:128,151,
+166) — dead branches never reach Catalyst.
+
+Scale notes (10^12 files): the enriched table is materialized once
+(persist locally; stage snapshot in run_resumable — the Iceberg
+checkpoint in production) so the dedup/near-dup diamonds re-read a
+slim column projection instead of re-running UDFs over content.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from . import rules
 from .io import ParquetSnapshotIO
-from .operators import (
-    dedup_stage,
-    filter_stage,
-    finalize,
-    near_dedup_stage,
-    score_stage,
-    scrub_stage,
-)
+from .operators.dedup import dup_flags, with_keys
+from .operators.filter import filter_stage
+from .operators.neardup import near_flags
+from .operators.regroup import finalize
+from .operators.score import score_reasons
+from .udfs import make_enrich_udf
 
-STAGES = ["filter", "dedup", "neardup", "score", "scrub", "final"]
+STAGES = ["enrich", "dupflags", "nearflags", "final"]
 
 
-def build_plan(df: DataFrame, cfg: rules.PipelineConfig | None = None) -> DataFrame:
-    """Single lazy plan, no checkpoints — Catalyst sees the whole DAG."""
-    cfg = cfg or rules.PipelineConfig()
+def enrich(df: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
+    """Per-row enrichment: no shuffles, one WholeStageCodegen span +
+    one ArrowEval node. Everything downstream is aggregation/join."""
     df = filter_stage(df, cfg)
-    df = dedup_stage(df, cfg)
-    df = near_dedup_stage(df, cfg)
-    df = score_stage(df, cfg)
-    df = scrub_stage(df, cfg)
-    return finalize(df, cfg)
+    df = with_keys(df)
+    udf = make_enrich_udf(cfg)
+    if udf is not None:
+        df = df.withColumn("_e", udf(F.col("content"))).select("*", "_e.*").drop("_e")
+    if not cfg.do_score:
+        df = (
+            df.withColumn("lang_detected", F.lit(None).cast("string"))
+            .withColumn("langid_conf", F.lit(None).cast("double"))
+            .withColumn("perplexity", F.lit(None).cast("double"))
+        )
+    if not cfg.do_scrub:
+        df = df.withColumn("content_scrubbed", F.col("content")).withColumn(
+            "scrub_count", F.lit(0)
+        )
+    df = df.withColumn("scrub_candidate", F.col("scrub_count") > 0)
+    return score_reasons(df, cfg)
+
+
+def _assemble(
+    base: DataFrame,
+    dupf: DataFrame | None,
+    nearf: DataFrame | None,
+    cfg: rules.PipelineConfig,
+) -> DataFrame:
+    if dupf is not None and nearf is not None:
+        flags = dupf.join(nearf, "doc_key", "full_outer")
+    elif dupf is not None:
+        flags = dupf.withColumn("near_dup_of", F.lit(None).cast("string"))
+    elif nearf is not None:
+        flags = (
+            nearf.withColumn("is_duplicate", F.lit(None).cast("boolean"))
+            .withColumn("dup_of", F.lit(None).cast("string"))
+            .withColumn("dup_group_size", F.lit(None).cast("long"))
+        )
+    else:
+        flags = None
+    if flags is not None:
+        if cfg.broadcast_flags:
+            flags = F.broadcast(flags)
+        out = base.join(flags, "doc_key", "left")
+        out = out.withColumn(
+            "is_duplicate", F.coalesce(F.col("is_duplicate"), F.lit(False))
+        ).withColumn(
+            "dup_group_size", F.coalesce(F.col("dup_group_size"), F.lit(1))
+        )
+    else:
+        out = (
+            base.withColumn("is_duplicate", F.lit(False))
+            .withColumn("dup_of", F.lit(None).cast("string"))
+            .withColumn("dup_group_size", F.lit(1).cast("long"))
+            .withColumn("near_dup_of", F.lit(None).cast("string"))
+        )
+    return finalize(out, cfg)
+
+
+def _dup_keys(dupf: DataFrame | None, base: DataFrame) -> DataFrame:
+    if dupf is None:
+        return base.select("doc_key").limit(0)
+    return dupf.filter(F.col("is_duplicate")).select("doc_key")
+
+
+def build_plan(
+    df: DataFrame,
+    cfg: rules.PipelineConfig | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Single-app plan. ``materialize=True`` persists the enriched
+    table (MEMORY_AND_DISK) so the flag aggregations and the final
+    join don't re-run the UDF pass; set False for a fully lazy plan
+    (e.g. when the caller checkpoints externally)."""
+    cfg = cfg or rules.PipelineConfig()
+    base = enrich(df, cfg)
+    if materialize and (cfg.do_dedup or cfg.do_near_dedup):
+        # DISK_ONLY beats MEMORY_AND_DISK here (measured 20s vs 31s at
+        # 100k rows): the wide row (content + scrubbed) deserialized in
+        # JVM memory causes GC/eviction thrash, while serialized disk
+        # blocks ride the OS page cache. This is the in-app analog of
+        # the stage snapshot run_resumable writes (Iceberg in prod).
+        base = base.persist(StorageLevel.DISK_ONLY)
+        # populate the cache EAGERLY: the downstream flag branches are
+        # independent stages that would otherwise race to compute base
+        # concurrently, re-running the enrich UDF 2-3× (measured 20s →
+        # 91s variance). One cheap action serializes the computation.
+        base.count()
+    dupf = (
+        dup_flags(base.select("content_sha256", "doc_key"), cfg)
+        if cfg.do_dedup
+        else None
+    )
+    nearf = (
+        near_flags(
+            base.select("doc_key", "minhash_bands"), _dup_keys(dupf, base), cfg
+        )
+        if cfg.do_near_dedup
+        else None
+    )
+    return _assemble(base, dupf, nearf, cfg)
 
 
 def run_resumable(
@@ -44,28 +147,44 @@ def run_resumable(
     cfg: rules.PipelineConfig,
     io: ParquetSnapshotIO,
 ) -> DataFrame:
-    """Checkpointed execution: each stage commits a snapshot and the
-    next stage reads it back (Cromwell call-caching analog, SURVEY.md
-    §3 E3). A killed run resumes from the last committed manifest."""
+    """Checkpointed execution (Cromwell call-caching analog, SURVEY.md
+    §3 E3): every stage commits a snapshot (manifest written last —
+    atomic), a rerun resumes from the last committed one. The enrich
+    snapshot plays the Iceberg table checkpoint of the production
+    design; flag stages are slim."""
     ch = cfg.config_hash()
-    stage_fns = [
-        ("filter", lambda d: filter_stage(d, cfg)),
-        ("dedup", lambda d: dedup_stage(d, cfg)),
-        ("neardup", lambda d: near_dedup_stage(d, cfg)),
-        ("score", lambda d: score_stage(d, cfg)),
-        ("scrub", lambda d: scrub_stage(d, cfg)),
-        ("final", lambda d: finalize(d, cfg)),
-    ]
-    cur = df
-    # find last committed stage, resume after it
-    done = -1
-    for i, (name, _) in enumerate(stage_fns):
-        if io.exists(name, ch):
-            done = i
-    if done >= 0:
-        cur = io.read(spark, stage_fns[done][0], ch)
-    for name, fn in stage_fns[done + 1 :]:
-        cur = fn(cur)
-        io.write(cur, name, ch)
-        cur = io.read(spark, name, ch)
-    return cur
+    if io.exists("final", ch):
+        return io.read(spark, "final", ch)
+
+    if io.exists("enrich", ch):
+        base = io.read(spark, "enrich", ch)
+    else:
+        io.write(enrich(df, cfg), "enrich", ch)
+        base = io.read(spark, "enrich", ch)
+
+    dupf = None
+    if cfg.do_dedup:
+        if not io.exists("dupflags", ch):
+            io.write(
+                dup_flags(base.select("content_sha256", "doc_key"), cfg),
+                "dupflags",
+                ch,
+            )
+        dupf = io.read(spark, "dupflags", ch)
+
+    nearf = None
+    if cfg.do_near_dedup:
+        if not io.exists("nearflags", ch):
+            io.write(
+                near_flags(
+                    base.select("doc_key", "minhash_bands"),
+                    _dup_keys(dupf, base),
+                    cfg,
+                ),
+                "nearflags",
+                ch,
+            )
+        nearf = io.read(spark, "nearflags", ch)
+
+    io.write(_assemble(base, dupf, nearf, cfg), "final", ch)
+    return io.read(spark, "final", ch)

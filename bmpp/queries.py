@@ -707,7 +707,56 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN (bmpp.simsearch): probing ALL cells makes IVF exactly
+    equal to brute force — so the scale path shares the brute-force
+    DuckDB oracle. Partial-probe recall is covered by pytest."""
+    from .simsearch import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_topk(e, q, k=5, n_cells=8, n_probe=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_stream_hourly(spark, sf_dir):
+    """Structured Streaming windowed agg (watermark + tumbling window,
+    complete mode) — cross-checked against the same batch SQL oracle
+    as events_hourly."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from .streaming import stream_hourly_counts
+
+    d = Path(tempfile.gettempdir()) / f"bmpp_events_stream_{Path(sf_dir).name}"
+    d.mkdir(exist_ok=True)
+    if not (d / "events.parquet").exists():
+        shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return stream_hourly_counts(spark, str(d))
+
+
+SQL_STREAM_HOURLY = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---- non-SQL-expressible ops (rows-only driver check) ----
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media columns → feature extraction via mapInPandas
+    (decode stubbed per sandbox constraints; schema/batching real —
+    bmpp.multimodal). Synthetic deterministic assets; rows-only check."""
+    from .multimodal import MEDIA_SCHEMA, extract_image_features, make_synthetic_assets
+
+    df = spark.createDataFrame(make_synthetic_assets(300), schema=MEDIA_SCHEMA)
+    return extract_image_features(df)
+
 
 
 def q_minhash_neardup(spark, sf_dir):
@@ -792,9 +841,13 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ivf_ann_topk": (q_ivf_ann_topk, SQL_ANN_TOPK),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
+    # streaming
+    "stream_hourly": (q_stream_hourly, SQL_STREAM_HOURLY),
     # non-SQL-expressible (rows-only check)
     "minhash_neardup": (q_minhash_neardup, None),
     "langid_score": (q_langid, None),
     "simhash": (q_simhash, None),
+    "multimodal_features": (q_multimodal_features, None),
 }

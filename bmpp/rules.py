@@ -161,6 +161,12 @@ class PipelineConfig:
     max_perplexity: float = MAX_PERPLEXITY
     max_toxic_hits: int = MAX_TOXIC_HITS
     dedup_salt_buckets: int = 64     # skew salt for the content-hash groupBy
+    # broadcast the (doc_key → dup/near flags) table into the final
+    # wide join, so the content-bearing side never shuffles. Flag-table
+    # size is proportional to the duplicate rate; at extreme scale
+    # (10^11+ flagged rows) set False to fall back to a shuffled join
+    # on the unique (unskewed) doc_key, which AQE handles.
+    broadcast_flags: bool = True
     minhash_perms: int = 64
     lsh_bands: int = 8               # 8 bands × 8 rows
     shingle_k: int = 5               # char-shingle width (words for code)

@@ -20,7 +20,11 @@ def get_spark(
     extra: dict | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or 4 * cores
+    # shuffle partitions = cores: measured best for this workload (AQE
+    # coalesces small shuffles anyway; 4×cores added 50% overhead on
+    # the flag-aggregation stages). On a real cluster size by data
+    # volume (~128MB per partition) with AQE as the safety net.
+    shuffle_partitions = shuffle_partitions or cores
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)

@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, mirroring the engine's BQSR-style learn→broadcast→apply
+discipline:
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the query side,
+  JVM-side zip_with/aggregate dot products, window rank. The exact
+  baseline and the rerank half of the ANN path.
+- ``ivf_topk`` — IVF (inverted-file) ANN: k-means centroids trained
+  deterministically on a sample (offline-learnable, like the langid
+  weights), every vector assigned to its nearest cell (one vectorized
+  numpy pass), queries probe only the ``n_probe`` nearest cells and
+  rerank exactly. At 10^12 vectors the cell assignment is the
+  partition key — a probe touches n_probe/n_cells of the data.
+
+Determinism: centroid init is seeded (kmeans++ with numpy
+RandomState), Lloyd iterations are fixed-count; assignment ties break
+by lowest cell id (argmin).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SEED = 1337
+
+
+def _cosine_col(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return dot / (na * nb)
+
+
+def _as_double(col: str):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against the full table.
+    Output: (query_id, neighbor_id, rank, cos)."""
+    e = emb.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v"))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    sims = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cosine_col("v", "qv").alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def train_centroids(
+    emb: DataFrame, n_cells: int, sample_rows: int = 4096,
+    vec_col: str = "embedding", iters: int = 10,
+) -> np.ndarray:
+    """Deterministic k-means (seeded kmeans++ init + fixed Lloyd
+    iterations) on a driver-side sample. At scale the sample is a
+    bounded `limit`; the training artifact ships like a model file."""
+    sample = np.array(
+        [r[0] for r in emb.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(_SEED)
+    # kmeans++ init
+    cents = [sample[rng.randint(len(sample))]]
+    for _ in range(n_cells - 1):
+        d2 = np.min(
+            [np.sum((sample - c) ** 2, axis=1) for c in cents], axis=0
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(sample[rng.choice(len(sample), p=p)])
+    C = np.array(cents)
+    for _ in range(iters):
+        assign = np.argmax(sample @ C.T, axis=1)  # cosine on normalized
+        for j in range(n_cells):
+            m = sample[assign == j]
+            if len(m):
+                c = m.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def assign_cells(
+    emb: DataFrame, centroids: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """One vectorized numpy pass per Arrow batch: nearest-centroid cell
+    id for every vector (ties → lowest id via argmax semantics)."""
+    C = centroids  # closure-captured; small (n_cells × dim)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype("int32"))
+
+    return emb.withColumn("cell", cell_of(F.col(vec_col)))
+
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10,
+    n_cells: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: probe the n_probe nearest cells per query, exact rerank
+    inside them. Returns (query_id, neighbor_id, rank, cos)."""
+    spark = emb.sparkSession
+    C = centroids if centroids is not None else train_centroids(emb, n_cells, vec_col=vec_col)
+    celled = assign_cells(emb, C, id_col, vec_col)
+
+    # query → probed cells (queries are few; computed driver-side like
+    # the broadcast of a learned table)
+    qrows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.array(r[vec_col], dtype=np.float64)
+        qv /= max(np.linalg.norm(qv), 1e-12)
+        order = np.argsort(-(C @ qv))[: n_probe]
+        for cell in order:
+            probe_rows.append((int(r[id_col]), int(cell)))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+
+    cands = (
+        celled.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v"), "cell"
+        )
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", _cosine_col("v", "qv").alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,129 @@
+"""Structured Streaming surface.
+
+The reference is a batch DAG with file-staged resumability — no
+streaming exists there (SURVEY.md §2.2) — but a training-data engine
+ingesting crawled code continuously needs the incremental versions of
+the same operators. Three shapes:
+
+- ``stream_quality_filter``: the per-row half of the pipeline (filter
+  heuristics + score + scrub — everything except cross-row dedup) as a
+  stateless stream: readStream → enrich → sink. Exactly-once via
+  checkpointLocation; each micro-batch is idempotent.
+- ``stream_exact_dedup``: stateful streaming dedup via
+  ``dropDuplicates`` on the content hash with a watermark bounding
+  state (late arrivals beyond the watermark are dropped from dedup
+  consideration — the batch pipeline remains the ground truth).
+- ``stream_hourly_counts``: windowed aggregation with watermark over
+  the events table (late-data demo), complete-mode memory sink.
+
+All helpers run synchronously via processAllAvailable() so tests and
+the driver treat them as batch-shaped calls.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import rules
+from .operators.dedup import with_keys
+from .operators.filter import filter_stage
+from .operators.score import score_reasons
+from .udfs import make_enrich_udf
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    name = f"bmpp_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def enrich_stream(df: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
+    """Per-row enrichment on a streaming DataFrame — same operators as
+    the batch enrich (they are all stateless Column exprs + one Arrow
+    UDF, so the identical code path serves both engines)."""
+    df = filter_stage(df, cfg)
+    df = with_keys(df)
+    udf = make_enrich_udf(cfg)
+    if udf is not None:
+        df = df.withColumn("_e", udf(F.col("content"))).select("*", "_e.*").drop("_e")
+    df = score_reasons(df, cfg)
+    return df.withColumn(
+        "drop_reasons",
+        F.array_sort(F.concat(F.col("_reasons_filter"), F.col("_reasons_score"))),
+    ).withColumn("keep", F.size("drop_reasons") == 0)
+
+
+def stream_quality_filter(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    cfg: rules.PipelineConfig | None = None,
+    output_dir: str | None = None,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """File-source stream of corpus rows → enriched keep/drop stream.
+    With output_dir: exactly-once parquet sink (resume via checkpoint).
+    Without: drains to a memory sink and returns the result."""
+    cfg = cfg or rules.PipelineConfig(do_near_dedup=False)
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    out = enrich_stream(src, cfg).drop(
+        "_reasons_filter", "_reasons_score", "minhash_bands"
+    )
+    if output_dir:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint or output_dir + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(output_dir)
+    return _run_to_memory(out, "append")
+
+
+def stream_exact_dedup(
+    spark: SparkSession, input_dir: str, schema, watermark_col: str | None = None
+) -> DataFrame:
+    """Stateful streaming dedup: first-seen row per content hash wins
+    (MarkDuplicates keep-best, incremental form). State is the set of
+    seen hashes; in production bound it with a watermark on an event-
+    time column."""
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    out = with_keys(src).dropDuplicates(["content_sha256"])
+    return _run_to_memory(out, "append")
+
+
+def stream_hourly_counts(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Windowed streaming aggregation with watermark (late-data
+    handling): tumbling 1h windows over events, exact cent sums. ``events_dir`` must be a
+    directory (streaming file-source requirement)."""
+    batch = spark.read.parquet(events_dir)  # schema probe
+    src = spark.readStream.schema(batch.schema).parquet(events_dir)
+    agg = (
+        src.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+    return _run_to_memory(agg, "complete")

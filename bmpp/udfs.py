@@ -58,6 +58,68 @@ def make_bands_udf(n_perms: int, n_bands: int, k: int):
 # --- scrub: ordered regex pack, byte-exact with the oracle (same
 # compiled patterns from bmpp.rules — SURVEY.md §7 hard part (a)) ---
 
+# --- fused per-row enrichment: ONE Arrow crossing for all model work.
+# Content is the dominant byte volume at 10^12-file scale; shipping it
+# to Python once (instead of once per UDF stage) cuts Arrow IPC 3×.
+# Fields are cfg-gated so disabled stages cost nothing.
+
+
+def make_enrich_udf(cfg):
+    fields = []
+    if cfg.do_score:
+        fields += [
+            T.StructField("lang_detected", T.StringType()),
+            T.StructField("langid_conf", T.DoubleType()),
+            T.StructField("perplexity", T.DoubleType()),
+        ]
+    if cfg.do_near_dedup:
+        fields.append(T.StructField("minhash_bands", T.ArrayType(T.LongType())))
+    if cfg.do_scrub:
+        fields += [
+            T.StructField("content_scrubbed", T.StringType()),
+            T.StructField("scrub_count", T.IntegerType()),
+        ]
+    if not fields:
+        return None
+    schema = T.StructType(fields)
+    n_perms, n_bands, k = cfg.minhash_perms, cfg.lsh_bands, cfg.shingle_k
+    do_score, do_near, do_scrub = cfg.do_score, cfg.do_near_dedup, cfg.do_scrub
+
+    @F.pandas_udf(schema)
+    def enrich_udf(content: pd.Series) -> pd.DataFrame:
+        out = {}
+        texts = [t if isinstance(t, str) else "" for t in content]
+        if do_score:
+            m, lm = LangIdModel.get(), NgramLM.get()
+            langs, confs = m.predict_batch(texts)
+            out["lang_detected"] = langs
+            out["langid_conf"] = confs
+            out["perplexity"] = lm.batch(texts)
+        if do_near:
+            bands = []
+            for t in texts:
+                sig = signature(t, n_perms, k)
+                bands.append(None if sig is None else band_hashes(sig, n_bands))
+            out["minhash_bands"] = bands
+        if do_scrub:
+            scrubbed, counts = [], []
+            for t in texts:
+                # cheap detect-then-rewrite: one search for the 94% of
+                # rows with nothing to scrub (identical result to
+                # rules.scrub, which returns (t, 0) for them anyway)
+                if rules.scrub_candidate(t):
+                    s, n = rules.scrub(t)
+                else:
+                    s, n = t, 0
+                scrubbed.append(s)
+                counts.append(n)
+            out["content_scrubbed"] = scrubbed
+            out["scrub_count"] = counts
+        return pd.DataFrame(out)
+
+    return enrich_udf
+
+
 # --- SimHash (Charikar 2002): 64-bit fingerprint; hamming-adjacent
 # docs are near-dup candidates ---
 

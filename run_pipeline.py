@@ -37,6 +37,12 @@ def main(argv=None) -> int:
     p.add_argument("--no-scrub", action="store_true")
     p.add_argument("--remove-duplicates", action="store_true")
     p.add_argument("--buckets", type=int, default=32)
+    p.add_argument(
+        "--sink", choices=["parquet", "noop"], default="parquet",
+        help="noop: execute the full plan + metrics but skip the "
+        "parquet write (for scaling measurements on single-disk hosts "
+        "where the final write is IO-bound, not engine-bound)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -69,14 +75,17 @@ def main(argv=None) -> int:
     else:
         result = build_plan(df, cfg)
 
-    regroup_write(result, f"{args.output}/code_files_processed", args.buckets)
-    final = spark.read.parquet(f"{args.output}/code_files_processed")
-    metrics.group_metrics(final).write.mode("overwrite").parquet(
-        f"{args.output}/metrics_by_group"
-    )
-    metrics.reason_metrics(final).write.mode("overwrite").parquet(
-        f"{args.output}/metrics_by_reason"
-    )
+    if args.sink == "parquet":
+        regroup_write(result, f"{args.output}/code_files_processed", args.buckets)
+        final = spark.read.parquet(f"{args.output}/code_files_processed")
+        metrics.group_metrics(final).write.mode("overwrite").parquet(
+            f"{args.output}/metrics_by_group"
+        )
+        metrics.reason_metrics(final).write.mode("overwrite").parquet(
+            f"{args.output}/metrics_by_reason"
+        )
+    else:
+        final = result
     report = metrics.run_report(final)
     report["wall_sec"] = round(time.time() - t0, 2)
     report["config_hash"] = cfg.config_hash()

@@ -1,0 +1,58 @@
+"""Flag-lattice sweep vs the oracle — the analog of the reference's 12
+regression cases (vidarrtest-regression.json.in), which toggle
+doFilter/doMarkDuplicates/doSplitNCigarReads/doBqsr across runs.
+Every stage combination must match the oracle exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from bmpp import corpus, oracle, rules
+from bmpp.pipeline import build_plan
+
+N = 400
+
+CASES = {
+    # name → config (mirrors the reference's case structure)
+    "default": rules.PipelineConfig(),
+    "filter_only": rules.PipelineConfig(
+        do_dedup=False, do_near_dedup=False, do_score=False, do_scrub=False
+    ),
+    "no_filter": rules.PipelineConfig(do_filter=False),  # Test10/11: doFilter=false
+    "no_dedup": rules.PipelineConfig(do_dedup=False, do_near_dedup=False),  # Test4-7
+    "no_score": rules.PipelineConfig(do_score=False),  # Test3: doBqsr=false
+    "no_scrub": rules.PipelineConfig(do_scrub=False),
+    "remove_dups": rules.PipelineConfig(remove_duplicates=True),  # removeDuplicates
+    "strict_quality": rules.PipelineConfig(  # Test2: minMapQuality=60 analog
+        min_alpha_ratio=0.5, max_perplexity=3.0
+    ),
+    "merge_only": rules.PipelineConfig(  # bmpp_merge_only alias profile
+        do_filter=False, do_dedup=False, do_near_dedup=False,
+        do_score=False, do_scrub=False,
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def rows():
+    return corpus.gen_rows(N)
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    return corpus.corpus_df(spark, N, partitions=8).drop("plant")
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_flag_case_matches_oracle(spark, src, rows, name):
+    cfg = CASES[name]
+    want = {o["doc_key"]: o for o in oracle.process(rows, cfg)}
+    got = build_plan(src, cfg).collect()
+    assert len(got) == N
+    for r in got:
+        o = want[r["doc_key"]]
+        assert r["keep"] == o["keep"], (name, r["doc_key"])
+        assert r["drop_reasons"] == o["drop_reasons"], (name, r["doc_key"])
+        assert r["is_duplicate"] == o["is_duplicate"], (name, r["doc_key"])
+        assert r["near_dup_of"] == o["near_dup_of"], (name, r["doc_key"])
+        assert r["scrub_count"] == o["scrub_count"], (name, r["doc_key"])

@@ -1,0 +1,94 @@
+"""Resume/idempotency semantics of the snapshot layer (SURVEY.md §7(d),
+Cromwell call-caching analog): a killed run leaves no committed
+manifest; reruns resume from the last committed stage; config changes
+invalidate snapshots."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+
+from bmpp import corpus, rules
+from bmpp.io import ParquetSnapshotIO
+from bmpp.pipeline import run_resumable
+
+N = 300
+
+
+@pytest.fixture()
+def src(spark):
+    return corpus.corpus_df(spark, N, partitions=4).drop("plant")
+
+
+def _digest(df):
+    import hashlib
+
+    rows = sorted(
+        f"{r['doc_key']}|{r['keep']}|{','.join(r['drop_reasons'])}"
+        for r in df.collect()
+    )
+    h = hashlib.sha256()
+    for line in rows:
+        h.update(line.encode())
+    return h.hexdigest()
+
+
+def test_full_run_then_resume_is_noop(spark, src, tmp_path):
+    cfg = rules.PipelineConfig()
+    io = ParquetSnapshotIO(str(tmp_path))
+    d1 = _digest(run_resumable(spark, src, cfg, io))
+    # second run: everything committed → read-only resume
+    d2 = _digest(run_resumable(spark, src, cfg, io))
+    assert d1 == d2
+    assert {m["stage"] for m in io.lineage()} == {
+        "enrich", "dupflags", "nearflags", "final"
+    }
+
+
+def test_killed_stage_rerun_is_idempotent(spark, src, tmp_path):
+    cfg = rules.PipelineConfig()
+    io = ParquetSnapshotIO(str(tmp_path))
+    d1 = _digest(run_resumable(spark, src, cfg, io))
+    # simulate a kill mid-"final": delete its manifest (data files stay)
+    ch = cfg.config_hash()
+    (tmp_path / "final" / f"snap-{ch}" / "_BMPP_MANIFEST.json").unlink()
+    assert not io.exists("final", ch)
+    d2 = _digest(run_resumable(spark, src, cfg, io))
+    assert d1 == d2
+
+
+def test_partial_snapshot_without_manifest_is_recomputed(spark, src, tmp_path):
+    cfg = rules.PipelineConfig()
+    io = ParquetSnapshotIO(str(tmp_path))
+    # fabricate a partial (uncommitted) enrich snapshot: dir, no manifest
+    ch = cfg.config_hash()
+    d = tmp_path / "enrich" / f"snap-{ch}"
+    d.mkdir(parents=True)
+    (d / "part-garbage.parquet").write_bytes(b"not parquet")
+    out = run_resumable(spark, src, cfg, io)
+    assert out.count() == N  # garbage replaced, run succeeds
+
+
+def test_config_change_invalidates_snapshots(spark, src, tmp_path):
+    io = ParquetSnapshotIO(str(tmp_path))
+    run_resumable(spark, src, rules.PipelineConfig(), io)
+    cfg2 = rules.PipelineConfig(min_alpha_ratio=0.5)
+    assert not io.exists("final", cfg2.config_hash())
+    out = run_resumable(spark, src, cfg2, io)
+    # stricter threshold must drop at least as many rows
+    kept2 = out.filter("keep").count()
+    base = io.read(spark, "final", rules.PipelineConfig().config_hash())
+    assert kept2 <= base.filter("keep").count()
+
+
+def test_resumable_equals_single_plan(spark, src, tmp_path):
+    cfg = rules.PipelineConfig()
+    from bmpp.pipeline import build_plan
+
+    d_resume = _digest(
+        run_resumable(spark, src, cfg, ParquetSnapshotIO(str(tmp_path)))
+    )
+    d_plan = _digest(build_plan(src, cfg))
+    assert d_resume == d_plan

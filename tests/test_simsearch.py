@@ -1,0 +1,64 @@
+"""Similarity search: exact baseline vs IVF recall + determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bmpp.simsearch import brute_force_topk, ivf_topk, train_centroids
+
+SF = "/root/testdata/sf0.01"
+K = 10
+N_QUERIES = 20
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    return emb.filter(F.col("vec_id") < N_QUERIES)
+
+
+@pytest.fixture(scope="module")
+def exact(emb, queries):
+    out = {}
+    for r in brute_force_topk(emb, queries, k=K).collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_brute_force_shape(exact):
+    assert len(exact) == N_QUERIES
+    assert all(len(v) == K for v in exact.values())
+
+
+def test_ivf_full_probe_equals_exact(emb, queries, exact):
+    """n_probe == n_cells ⇒ IVF must return exactly the brute-force
+    result (it's the same search, partitioned)."""
+    got = {}
+    for r in ivf_topk(emb, queries, k=K, n_cells=8, n_probe=8).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert got == exact
+
+
+def test_ivf_recall_partial_probe(emb, queries, exact):
+    # isotropic random embeddings are IVF's worst case (no cluster
+    # structure) — probing 10/16 cells measures recall 0.875 here;
+    # real embedding spaces cluster and probe far fewer cells.
+    got = {}
+    for r in ivf_topk(emb, queries, k=K, n_cells=16, n_probe=10).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+    recall = hits / (len(exact) * K)
+    assert recall >= 0.8, f"recall@{K}={recall:.3f}"
+
+
+def test_centroids_deterministic(emb):
+    import numpy as np
+
+    a = train_centroids(emb, 16)
+    b = train_centroids(emb, 16)
+    assert np.array_equal(a, b)

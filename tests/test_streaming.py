@@ -1,0 +1,79 @@
+"""Structured Streaming surface: streaming results must equal their
+batch counterparts (same operators, different engine)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bmpp import corpus, rules
+from bmpp.streaming import (
+    stream_exact_dedup,
+    stream_hourly_counts,
+    stream_quality_filter,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_corpus"))
+    corpus.corpus_df(spark, 600, partitions=4).drop("plant").write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def test_stream_quality_filter_matches_batch(spark, corpus_dir):
+    from bmpp.pipeline import build_plan
+
+    schema = spark.read.parquet(corpus_dir).schema
+    cfg = rules.PipelineConfig(do_near_dedup=False, do_dedup=False)
+    got = {
+        r["doc_key"]: (r["keep"], tuple(r["drop_reasons"]))
+        for r in stream_quality_filter(spark, corpus_dir, schema, cfg).collect()
+    }
+    want = {
+        r["doc_key"]: (r["keep"], tuple(r["drop_reasons"]))
+        for r in build_plan(spark.read.parquet(corpus_dir), cfg).collect()
+    }
+    assert got == want
+
+
+def test_stream_exact_dedup_one_per_hash(spark, corpus_dir):
+    schema = spark.read.parquet(corpus_dir).schema
+    out = stream_exact_dedup(spark, corpus_dir, schema)
+    rows = out.select("content_sha256").collect()
+    hashes = [r[0] for r in rows]
+    assert len(hashes) == len(set(hashes)) > 0
+    batch_distinct = (
+        spark.read.parquet(corpus_dir)
+        .selectExpr("sha2(content, 256) AS h")
+        .distinct()
+        .count()
+    )
+    assert len(hashes) == batch_distinct
+
+
+def test_stream_hourly_matches_batch(spark, tmp_path_factory):
+    import shutil
+
+    import duckdb
+
+    # streaming file source requires a directory
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    got = {
+        (r["hour_epoch"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in stream_hourly_counts(spark, str(d)).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (he, et): (n, v)
+        for he, et, n, v in con.execute(
+            f"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT), event_type,
+                       count(*), CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2"""
+        ).fetchall()
+    }
+    assert got == want
