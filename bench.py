@@ -68,20 +68,20 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(v for k, v in timings.items() if k != "corpus_gen"), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "pipeline+catalog wall clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-                "pipeline_rows": PIPELINE_ROWS,
-                "pipeline_rows_per_sec": round(PIPELINE_ROWS / pipeline_sec, 1),
-                "cores": cores,
-            }
-        )
-    )
+    out = {
+        "metric": "pipeline+catalog wall clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "pipeline_rows": PIPELINE_ROWS,
+        "pipeline_rows_per_sec": round(PIPELINE_ROWS / pipeline_sec, 1),
+        "cores": cores,
+    }
+    scaling = Path(__file__).resolve().parent / "BENCH" / "scaling.json"
+    if scaling.exists():  # latest N-vs-4N evidence (scripts/scaling_bench.py)
+        out["scaling"] = json.loads(scaling.read_text())
+    print(json.dumps(out))
     spark.stop()
 
 

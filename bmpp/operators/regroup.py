@@ -19,8 +19,12 @@ from pyspark.sql import functions as F
 
 from .. import rules
 
+# NOTE: raw `content` is intentionally absent — the processed table
+# carries content_scrubbed + content_sha256 (the per-row invariant);
+# the original bytes stay in the source table, addressable by doc_key.
+# (The reference likewise emits processed BAMs, not input copies.)
 FINAL_COLUMNS = [
-    "repo", "path", "commit", "lang", "doc_key", "content",
+    "repo", "path", "commit", "lang", "doc_key",
     "content_sha256", "n_chars", "alpha_ratio", "n_lines",
     "max_line_len", "mean_line_len", "distinct_line_ratio",
     "is_duplicate", "dup_of", "dup_group_size", "near_dup_of",

@@ -57,7 +57,11 @@ def enrich(df: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
             "scrub_count", F.lit(0)
         )
     df = df.withColumn("scrub_candidate", F.col("scrub_count") > 0)
-    return score_reasons(df, cfg)
+    df = score_reasons(df, cfg)
+    # raw content is no longer needed downstream (hash + scrubbed text
+    # carry the invariants); dropping it halves the bytes that hit the
+    # stage snapshot / persist and the final join.
+    return df.drop("content")
 
 
 def _assemble(

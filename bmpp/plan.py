@@ -1,0 +1,49 @@
+"""Plan-time partition grouping (driver-side, no Spark).
+
+Reference op #1 ``splitStringToArray`` (bamMergePreprocessing.wdl:
+216-254): the interval config string is a 2-level tokenization —
+``,`` separates scatter groups, ``+`` packs several intervals into one
+group (``chr21+chr22+chrY+chrM`` — the chr_size skew bin-packing of
+vidarrtest-regression.json.in:1541). Here the same plan shape drives
+how corpus partitions (e.g. language families or repo buckets) are
+packed into balanced scatter groups.
+"""
+
+from __future__ import annotations
+
+
+def parse_partition_groups(
+    s: str, group_sep: str = ",", pack_sep: str = "+"
+) -> list[list[str]]:
+    """2-level tokenizer, exact splitStringToArray semantics
+    (wdl:228-232: tr over lineSeparator then recordSeparator)."""
+    if not s:
+        return []
+    return [group.split(pack_sep) for group in s.split(group_sep) if group]
+
+
+def bin_pack_groups(
+    sizes: dict[str, int], max_bins: int
+) -> list[list[str]]:
+    """Greedy LPT bin-packing of partitions into ≤max_bins balanced
+    scatter groups — what the reference's chr_size grouping does by
+    hand (big chromosomes alone, small ones packed together). Sorts by
+    size desc (ties by name for determinism), assigns each to the
+    currently-lightest bin."""
+    if max_bins <= 0:
+        raise ValueError("max_bins must be positive")
+    items = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))
+    bins: list[tuple[int, list[str]]] = [(0, []) for _ in range(min(max_bins, len(items)))]
+    loads = [0] * len(bins)
+    packed: list[list[str]] = [[] for _ in bins]
+    for name, size in items:
+        i = min(range(len(loads)), key=lambda j: (loads[j], j))
+        loads[i] += size
+        packed[i].append(name)
+    return [p for p in packed if p]
+
+
+def groups_to_config(groups: list[list[str]]) -> str:
+    """Inverse of parse_partition_groups — serialize a packing back to
+    the config-string form (``a+b,c``)."""
+    return ",".join("+".join(g) for g in groups)

@@ -707,6 +707,46 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_csv_json_roundtrip(spark, sf_dir):
+    """Sources/sinks surface (read_tsv :235 / read_json :936 analog):
+    documents → JSON lines + TSV sinks → read both back with explicit
+    schemas → join and aggregate. The oracle aggregates the original
+    table, so the round-trip must be lossless."""
+    import tempfile
+    from pathlib import Path
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = Path(tempfile.gettempdir()) / f"bmpp_io_{Path(sf_dir).name}"
+    jdir, tdir = str(base / "json"), str(base / "tsv")
+    d.write.mode("overwrite").json(jdir)
+    d.write.mode("overwrite").option("sep", "\t").option("header", "true").csv(tdir)
+    j = spark.read.schema("doc_id long, lang string, n_chars long").json(jdir)
+    t = (
+        spark.read.schema("doc_id long, lang string, n_chars long")
+        .option("sep", "\t")
+        .option("header", "true")
+        .csv(tdir)
+    )
+    return (
+        j.alias("j")
+        .join(t.alias("t"), "doc_id")
+        .groupBy(F.col("j.lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("j.n_chars")).alias("sum_chars_json"),
+            F.sum(F.col("t.n_chars")).alias("sum_chars_tsv"),
+        )
+    )
+
+
+SQL_CSV_JSON_ROUNDTRIP = """
+SELECT lang, count(*) AS docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars_json,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars_tsv
+FROM documents GROUP BY lang
+"""
+
+
 def q_ivf_ann_topk(spark, sf_dir):
     """IVF ANN (bmpp.simsearch): probing ALL cells makes IVF exactly
     equal to brute force — so the scale path shares the brute-force
@@ -843,6 +883,8 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_ANN_TOPK),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
+    # sources/sinks
+    "csv_json_roundtrip": (q_csv_json_roundtrip, SQL_CSV_JSON_ROUNDTRIP),
     # streaming
     "stream_hourly": (q_stream_hourly, SQL_STREAM_HOURLY),
     # non-SQL-expressible (rows-only check)

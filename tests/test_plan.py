@@ -1,0 +1,45 @@
+"""Plan-time partition grouping (pure Python, op #1 + chr_size analog)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bmpp.plan import bin_pack_groups, groups_to_config, parse_partition_groups
+
+
+def test_parse_reference_shapes():
+    # wdl default: one interval per group (vidarrtest:167 — 25-way)
+    assert parse_partition_groups("chr1,chr2,chr3") == [
+        ["chr1"], ["chr2"], ["chr3"]
+    ]
+    # chr_size packing (vidarrtest:1541)
+    assert parse_partition_groups("chr1,chr21+chr22+chrY+chrM") == [
+        ["chr1"], ["chr21", "chr22", "chrY", "chrM"]
+    ]
+    assert parse_partition_groups("") == []
+
+
+def test_roundtrip():
+    s = "a+b,c,d+e+f"
+    assert groups_to_config(parse_partition_groups(s)) == s
+
+
+def test_bin_pack_balances_skew():
+    # one mega-partition + many small ones (the planted-dup pathology)
+    sizes = {"mega": 1000, **{f"p{i}": 50 for i in range(10)}}
+    groups = bin_pack_groups(sizes, 4)
+    assert sum(len(g) for g in groups) == 11
+    loads = [sum(sizes[n] for n in g) for g in groups]
+    # mega sits alone; the rest spread over remaining bins
+    assert ["mega"] in groups
+    assert max(loads[1:] or [0]) <= 1000
+
+
+def test_bin_pack_deterministic():
+    sizes = {f"p{i}": (i * 7919) % 100 for i in range(50)}
+    assert bin_pack_groups(sizes, 8) == bin_pack_groups(dict(reversed(list(sizes.items()))), 8)
+
+
+def test_bin_pack_validates():
+    with pytest.raises(ValueError):
+        bin_pack_groups({"a": 1}, 0)

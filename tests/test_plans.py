@@ -1,0 +1,84 @@
+"""Physical-plan guards: the performance architecture as assertions.
+
+These don't execute jobs — they inspect `explain` output so a refactor
+can't silently reintroduce the failure modes measured in round 1
+(UDF re-evaluation across branches, SMJ on the wide side, lost
+pushdown/pruning).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bmpp import corpus, rules
+from bmpp.pipeline import enrich
+from bmpp.queries import q_customers_per_region
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus_parquet(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plan_corpus"))
+    corpus.corpus_df(spark, 500, partitions=4).drop("plant").write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def test_filter_pushdown_reaches_scan(spark, corpus_parquet):
+    df = (
+        spark.read.parquet(corpus_parquet)
+        .filter(F.col("lang") == "python")
+        .select("repo", "path")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,python)" in plan
+    # column pruning: scan must not read content
+    assert "ReadSchema" in plan and "content" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_dim_join_is_broadcast(spark):
+    plan = _plan(q_customers_per_region(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_enrich_is_single_arrow_pass(spark, corpus_parquet):
+    import re
+
+    df = enrich(spark.read.parquet(corpus_parquet), rules.PipelineConfig())
+    plan = _plan(df)
+    # formatted explain lists each node twice (tree + detail section)
+    nodes = re.findall(r"\(\d+\) ArrowEvalPython", plan)
+    assert len(nodes) == 1, "enrich must fuse all UDF work into one pass"
+    # no shuffle inside enrich: pure per-row stage
+    assert "Exchange" not in plan
+
+
+def test_flag_branch_prunes_udf(spark, corpus_parquet):
+    """The dedup flag branch reads only (content_sha256, doc_key) —
+    Catalyst must prune the Arrow UDF out of that subtree entirely."""
+    base = enrich(spark.read.parquet(corpus_parquet), rules.PipelineConfig())
+    slim = base.select("content_sha256", "doc_key")
+    plan = _plan(slim)
+    assert "ArrowEvalPython" not in plan
+
+
+def test_assemble_broadcasts_flags(spark, corpus_parquet):
+    from bmpp.pipeline import build_plan
+
+    df = build_plan(
+        spark.read.parquet(corpus_parquet),
+        rules.PipelineConfig(),
+        materialize=False,
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin LeftOuter" in plan or "BroadcastHashJoin" in plan
