@@ -707,6 +707,85 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the vector-space analog
+    of MinHash near-dup): all pairs with cosine ≥ 0.4, ids only
+    (float-error-proof). Brute-force self-join here; the scale path is
+    IVF cell-bucketing first (bmpp.simsearch) so only same/adjacent
+    cells pair up."""
+    from .simsearch import _as_double, _cosine_col
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(_cosine_col("va", "vb") >= 0.4)
+        .select("vec_a", "vec_b")
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
+def q_cube_rollup(spark, sf_dir):
+    """Grouping-sets surface: CUBE over (returnflag, linestatus) with
+    exact integer aggregates + grouping ids."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+SQL_CUBE_ROLLUP = """
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT surface: customer nations with vs without
+    suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("side", F.lit("both"))
+    cust_only = (
+        c.distinct().subtract(s.distinct()).withColumn("side", F.lit("customer_only"))
+    )
+    return both.unionByName(cust_only)
+
+
+SQL_SET_OPS = """
+SELECT nationkey, 'both' AS side FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customer_only' AS side FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT SELECT s_nationkey FROM supplier)
+"""
+
+
 def q_csv_json_roundtrip(spark, sf_dir):
     """Sources/sinks surface (read_tsv :235 / read_json :936 analog):
     documents → JSON lines + TSV sinks → read both back with explicit
@@ -883,6 +962,9 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_ANN_TOPK),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "cube_rollup": (q_cube_rollup, SQL_CUBE_ROLLUP),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
     # sources/sinks
     "csv_json_roundtrip": (q_csv_json_roundtrip, SQL_CSV_JSON_ROUNDTRIP),
     # streaming

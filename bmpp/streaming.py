@@ -105,6 +105,58 @@ def stream_exact_dedup(
     return _run_to_memory(out, "append")
 
 
+def stream_group_dedup_counts(
+    spark: SparkSession, input_dir: str, schema
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per group (repo), maintain the set of content hashes seen so far
+    (as state) and emit, per micro-batch, the running counts of rows
+    vs distinct-new rows — an incremental MarkDuplicates metrics
+    stream (the `.metrics` side output, wdl:385,446, as a live feed).
+
+    State: one row per repo holding (hashes_seen, rows_total,
+    dups_total). In production a watermark + TTL bounds it; here the
+    GroupStateTimeout is NoTimeout because the demo input is finite.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = with_keys(spark.readStream.schema(schema).parquet(input_dir))
+    slim = src.select("repo", "content_sha256")
+
+    out_schema = (
+        "repo string, rows_total long, distinct_total long, dups_total long"
+    )
+    state_schema = "hashes array<string>, rows long, dups long"
+
+    def update(key, pdfs, state: GroupState):
+        seen, rows, dups = (
+            state.get if state.exists else ([], 0, 0)
+        )
+        seen = set(seen)
+        for pdf in pdfs:
+            for h in pdf["content_sha256"]:
+                rows += 1
+                if h in seen:
+                    dups += 1
+                else:
+                    seen.add(h)
+        state.update((list(seen), rows, dups))
+        yield pd.DataFrame(
+            {
+                "repo": [key[0]],
+                "rows_total": [rows],
+                "distinct_total": [len(seen)],
+                "dups_total": [dups],
+            }
+        )
+
+    result = slim.groupBy("repo").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return _run_to_memory(result, "update")
+
+
 def stream_hourly_counts(spark: SparkSession, events_dir: str) -> DataFrame:
     """Windowed streaming aggregation with watermark (late-data
     handling): tumbling 1h windows over events, exact cent sums. ``events_dir`` must be a

@@ -55,6 +55,34 @@ def test_stream_exact_dedup_one_per_hash(spark, corpus_dir):
     assert len(hashes) == batch_distinct
 
 
+def test_stream_stateful_dedup_counts_match_batch(spark, corpus_dir):
+    from pyspark.sql import functions as F
+
+    from bmpp.streaming import stream_group_dedup_counts
+
+    schema = spark.read.parquet(corpus_dir).schema
+    # update-mode memory sink appends one row per (repo, micro-batch);
+    # the final cumulative state per repo is the row with max rows_total
+    got = {}
+    for r in stream_group_dedup_counts(spark, corpus_dir, schema).collect():
+        cur = got.get(r["repo"])
+        if cur is None or r["rows_total"] > cur[0]:
+            got[r["repo"]] = (r["rows_total"], r["distinct_total"], r["dups_total"])
+    want = {
+        r["repo"]: (r["rows"], r["distinct"], r["rows"] - r["distinct"])
+        for r in (
+            spark.read.parquet(corpus_dir)
+            .groupBy("repo")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.countDistinct(F.sha2("content", 256)).alias("distinct"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
 def test_stream_hourly_matches_batch(spark, tmp_path_factory):
     import shutil
 
