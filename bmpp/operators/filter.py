@@ -34,8 +34,10 @@ def with_heuristics(df: DataFrame) -> DataFrame:
     return (
         df.withColumn("n_chars", F.length(c))
         .withColumn(
+            # count matches instead of materializing a stripped copy of
+            # content (same value, no 160MB of throwaway strings)
             "alpha_ratio",
-            F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+            (F.length(c) - F.regexp_count(c, F.lit("[^A-Za-z]")))
             / F.greatest(F.length(c), F.lit(1)),
         )
         .withColumn("n_lines", n_lines)

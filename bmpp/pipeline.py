@@ -41,6 +41,9 @@ STAGES = ["enrich", "dupflags", "nearflags", "final"]
 def enrich(df: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
     """Per-row enrichment: no shuffles, one WholeStageCodegen span +
     one ArrowEval node. Everything downstream is aggregation/join."""
+    # defensive: null content (legal under the input schema) is treated
+    # as the empty file everywhere — JVM exprs, UDFs and the oracle agree
+    df = df.withColumn("content", F.coalesce(F.col("content"), F.lit("")))
     df = filter_stage(df, cfg)
     df = with_keys(df)
     udf = make_enrich_udf(cfg)

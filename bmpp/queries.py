@@ -491,6 +491,34 @@ FROM (
 """
 
 
+def q_running_totals(spark, sf_dir):
+    """Window frame surface: running count + running exact-decimal sum
+    per customer over order history (rowsBetween unbounded→current)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("orders_so_far"),
+        F.sum(price).over(w).cast("double").alias("spend_so_far"),
+    )
+
+
+SQL_RUNNING_TOTALS = """
+SELECT o_custkey, o_orderkey,
+       count(*) OVER w AS orders_so_far,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_so_far
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_json_extract(spark, sf_dir):
     """Scalar-function surface: regex field extraction from the props
     JSON strings (read_json analog, wdl:936)."""
@@ -953,6 +981,7 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "semi_anti_join": (q_semi_anti_join, SQL_SEMI_ANTI_JOIN),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     # training-data ops
     "token_count": (q_token_count, SQL_TOKEN_COUNT),

@@ -1,0 +1,31 @@
+"""Null-content robustness: a null content cell (legal under the
+input_hint schema) is treated as the empty file by every stage."""
+
+from __future__ import annotations
+
+from bmpp import rules
+from bmpp.pipeline import build_plan
+
+
+def test_null_content_treated_as_empty(spark):
+    rows = [
+        ("o/r", "a.py", "c1", "python", None),
+        ("o/r", "b.py", "c2", "python", ""),
+        ("o/r", "c.py", "c3", "python", "import os\n"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    out = {r["path"]: r for r in build_plan(df, rules.PipelineConfig()).collect()}
+    assert len(out) == 3
+    null_row, empty_row = out["a.py"], out["b.py"]
+    # null behaves exactly like "" — same hash, same reasons, same dedup group
+    assert null_row["content_sha256"] == empty_row["content_sha256"]
+    assert null_row["drop_reasons"] == empty_row["drop_reasons"]
+    assert rules.R_EMPTY in null_row["drop_reasons"]
+    assert not null_row["keep"]
+    # the two empties are exact duplicates of each other
+    pair = sorted([null_row, empty_row], key=lambda r: r["doc_key"])
+    assert not pair[0]["is_duplicate"] and pair[1]["is_duplicate"]
+    assert pair[1]["dup_of"] == pair[0]["doc_key"]
+    assert out["c.py"]["keep"]
