@@ -491,6 +491,46 @@ FROM (
 """
 
 
+def q_pivot(spark, sf_dir):
+    """Pivot surface: returnflag × linestatus matrix with fixed pivot
+    values (fixed value list keeps the schema static for the oracle —
+    DuckDB side is conditional aggregation)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("long")))
+        .select(
+            "l_returnflag",
+            F.coalesce("O", F.lit(0)).alias("qty_open"),
+            F.coalesce("F", F.lit(0)).alias("qty_filled"),
+        )
+    )
+
+
+SQL_PIVOT = """
+SELECT l_returnflag,
+       CAST(coalesce(sum(CASE WHEN l_linestatus = 'O'
+            THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS qty_open,
+       CAST(coalesce(sum(CASE WHEN l_linestatus = 'F'
+            THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_approx_aggs(spark, sf_dir):
+    """Approximate aggregates (approx_count_distinct HLL++,
+    percentile_approx) — sketch outputs are engine-specific, so this
+    is a rows-only check; exact-side sanity bounds are asserted in
+    tests/test_driver_contract.py oracle-free path."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
 def q_running_totals(spark, sf_dir):
     """Window frame surface: running count + running exact-decimal sum
     per customer over order history (rowsBetween unbounded→current)."""
@@ -982,6 +1022,8 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
+    "pivot_matrix": (q_pivot, SQL_PIVOT),
+    "approx_aggs": (q_approx_aggs, None),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     # training-data ops
     "token_count": (q_token_count, SQL_TOKEN_COUNT),

@@ -1,0 +1,107 @@
+"""Detection quality on the planted anomalies (FIXTURES.md table):
+each plant category must be caught by its intended rule — the analog
+of the reference's per-case expectations across Test1-11."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bmpp import corpus, rules
+from bmpp.pipeline import build_plan
+
+N = 2000
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    src = corpus.corpus_df(spark, N, partitions=8)  # keep `plant`
+    out = build_plan(src.drop("plant"), rules.PipelineConfig())
+    plants = src.select(
+        F.concat_ws(
+            "@", F.concat_ws("/", "repo", "path"), "commit"
+        ).alias("doc_key"),
+        "plant",
+    )
+    rows = out.join(plants, "doc_key").collect()
+    by_plant: dict[str, list] = {}
+    for r in rows:
+        by_plant.setdefault(r["plant"], []).append(r)
+    return by_plant
+
+
+def _frac(rows, pred):
+    return sum(1 for r in rows if pred(r)) / len(rows)
+
+
+def test_mega_dup_all_flagged_but_one(result):
+    rows = result["mega_dup"]
+    flagged = sum(1 for r in rows if r["is_duplicate"])
+    assert flagged == len(rows) - 1  # single representative survives
+
+
+def test_dup_pool_flagged(result):
+    rows = result["dup"]
+    # ≤ 20 pool blobs → at most 20 representatives among these rows
+    assert sum(1 for r in rows if not r["is_duplicate"]) <= 20
+
+
+def test_near_dups_caught(result):
+    rows = result["near_dup"]
+    unflagged = [
+        r for r in rows if r["near_dup_of"] is None and not r["is_duplicate"]
+    ]
+    # each of the 10 planted clusters keeps exactly one representative
+    # unflagged by design (keep-best semantics); beyond that, allow a
+    # small LSH miss rate (8 bands × 8 rows @ pairwise jaccard ~0.85-0.97)
+    n_clusters = 10
+    assert len(unflagged) <= n_clusters + 0.05 * len(rows), (
+        f"near-dup misses: {len(unflagged) - n_clusters}/{len(rows)}"
+    )
+
+
+def test_minified_dropped(result):
+    assert _frac(result["minified"], lambda r: rules.R_MAX_LINE in r["drop_reasons"]) == 1.0
+
+
+def test_garbage_dropped(result):
+    rows = result["garbage"]
+    rec = _frac(
+        rows,
+        lambda r: rules.R_PPL in r["drop_reasons"]
+        or rules.R_ALPHA in r["drop_reasons"],
+    )
+    assert rec == 1.0
+
+
+def test_repeated_lines_dropped(result):
+    assert _frac(result["repeated"], lambda r: rules.R_REPEAT in r["drop_reasons"]) == 1.0
+
+
+def test_wrong_lang_caught(result):
+    rec = _frac(result["wrong_lang"], lambda r: rules.R_LANG in r["drop_reasons"])
+    assert rec >= 0.95, f"lang-mismatch recall {rec:.3f}"
+
+
+def test_pii_scrubbed_and_kept(result):
+    rows = result["pii"]
+    assert _frac(rows, lambda r: r["scrub_count"] > 0) == 1.0
+    # PII is scrubbed, not a drop reason
+    for r in rows:
+        assert "AKIA" not in r["content_scrubbed"]
+
+
+def test_toxic_dropped(result):
+    assert _frac(result["toxic"], lambda r: rules.R_TOXIC in r["drop_reasons"]) == 1.0
+
+
+def test_empty_dropped(result):
+    assert _frac(result["empty"], lambda r: rules.R_EMPTY in r["drop_reasons"]) == 1.0
+
+
+def test_clean_mostly_kept(result):
+    rows = result["clean"]
+    kept = _frac(rows, lambda r: r["keep"])
+    # clean rows may still be flagged as near-dups of each other at
+    # tiny rates; precision must stay high
+    assert kept >= 0.97, f"clean keep rate {kept:.3f}"
