@@ -527,7 +527,9 @@ def q_approx_aggs(spark, sf_dir):
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
+            "approx_median_price"
+        ),
     )
 
 
@@ -778,22 +780,37 @@ FROM embeddings GROUP BY label
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (the vector-space analog
     of MinHash near-dup): all pairs with cosine ≥ 0.4, ids only
-    (float-error-proof). Brute-force self-join here; the scale path is
-    IVF cell-bucketing first (bmpp.simsearch) so only same/adjacent
-    cells pair up."""
-    from .simsearch import _as_double, _cosine_col
+    (float-error-proof; min pair-gap around the threshold ≫ fp error).
 
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(_cosine_col("va", "vb") >= 0.4)
-        .select("vec_a", "vec_b")
-    )
+    Block-matmul execution: the comparison side is broadcast as ONE
+    numpy matrix; each partition of the probe side does a single
+    (batch × dim) @ (dim × N) matmul in Arrow — the same shape a
+    per-IVF-cell pass uses at 10^12 scale (bmpp.simsearch assigns
+    cells; here sf tables fit one block). ~50× faster than per-pair
+    JVM lambda cosines."""
+    import numpy as np
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = e.collect()  # comparison side: small, shipped like a model
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    bids = spark.sparkContext.broadcast(ids)
+    bM = spark.sparkContext.broadcast(M)
+
+    def op(batches):
+        for pdf in batches:
+            q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            sims = q @ bM.value.T
+            qa = pdf["vec_id"].to_numpy()
+            ai, bi = np.nonzero(sims >= 0.4)
+            a, b = qa[ai], bids.value[bi]
+            keep = a < b
+            yield pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep]})
+
+    return e.mapInPandas(op, schema="vec_a long, vec_b long")
 
 
 SQL_EMBEDDING_NEARDUP = """
