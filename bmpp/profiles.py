@@ -1,0 +1,39 @@
+"""Named plan-configuration profiles — the reference registers the
+same workflow under alias names that are preset flag profiles
+(vidarrbuild.json:2-9: bamMergePreprocessing, _by_sample, _noMarkDup,
+_merge_only, …; CHANGELOG.md:33-35,44). Same idea here: a profile is
+a PipelineConfig preset addressable by name from the CLI.
+"""
+
+from __future__ import annotations
+
+from .rules import PipelineConfig
+
+PROFILES: dict[str, PipelineConfig] = {
+    # full pipeline (reference alias: bamMergePreprocessing)
+    "default": PipelineConfig(),
+    # keep duplicates unmarked (alias: bmpp_noMarkDup)
+    "no_markdup": PipelineConfig(do_dedup=False, do_near_dedup=False),
+    # only merge/regroup, no processing (alias: bmpp_merge_only)
+    "merge_only": PipelineConfig(
+        do_filter=False, do_dedup=False, do_near_dedup=False,
+        do_score=False, do_scrub=False,
+    ),
+    # drop duplicates instead of flagging (removeDuplicates=true)
+    "drop_dups": PipelineConfig(remove_duplicates=True),
+    # filter + dedup only — no model scoring (alias analog: Test3's
+    # doBqsr=false)
+    "no_score": PipelineConfig(do_score=False),
+    # strict thresholds (Test2's minMapQuality=60 analog)
+    "strict": PipelineConfig(min_alpha_ratio=0.5, max_perplexity=3.0,
+                             min_langid_conf=0.6),
+}
+
+
+def get_profile(name: str) -> PipelineConfig:
+    try:
+        return PROFILES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown profile {name!r}; available: {sorted(PROFILES)}"
+        ) from None

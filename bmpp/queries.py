@@ -491,6 +491,52 @@ FROM (
 """
 
 
+def q_udtf_chunks(spark, sf_dir):
+    """Python UDTF surface (Spark 4 table functions): chunk each
+    document into 50-token windows — the record-splitter
+    (SplitNCigarReads, wdl:398-416) as a lateral table function.
+    UDTFs are row-at-a-time Python (the slow path — the production
+    splitter uses explode/sequence, see q_split_records); bounded to
+    100 docs here, present for API-surface parity."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk_hash string, n_tokens int")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):
+            import hashlib
+
+            toks = (text or "").split(" ")
+            for i in range(0, len(toks), 50):
+                part = toks[i : i + 50]
+                yield (
+                    doc_id,
+                    i // 50,
+                    hashlib.md5(" ".join(part).encode()).hexdigest(),
+                    len(part),
+                )
+
+    spark.udtf.register("bmpp_chunk_doc", ChunkDoc)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("bmpp_docs_udtf")
+    return spark.sql(
+        """SELECT c.* FROM bmpp_docs_udtf d,
+           LATERAL bmpp_chunk_doc(d.doc_id, d.text) c
+           WHERE d.doc_id < 100"""
+    )
+
+
+SQL_UDTF_CHUNKS = """
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < 100)
+SELECT doc_id, CAST(pos // 50 AS INT) AS chunk_idx,
+       md5(array_to_string(list(tok ORDER BY pos), ' ')) AS chunk_hash,
+       CAST(count(*) AS INT) AS n_tokens
+FROM toks GROUP BY doc_id, pos // 50
+"""
+
+
 def q_pivot(spark, sf_dir):
     """Pivot surface: returnflag × linestatus matrix with fixed pivot
     values (fixed value list keeps the schema static for the oracle —
@@ -1041,6 +1087,7 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
     "pivot_matrix": (q_pivot, SQL_PIVOT),
     "approx_aggs": (q_approx_aggs, None),
+    "udtf_chunks": (q_udtf_chunks, SQL_UDTF_CHUNKS),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     # training-data ops
     "token_count": (q_token_count, SQL_TOKEN_COUNT),

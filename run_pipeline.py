@@ -30,6 +30,10 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoints", default=None,
                    help="snapshot dir: stages commit here and reruns resume")
+    p.add_argument("--profile", default=None,
+                   help="named config preset (bmpp.profiles — the "
+                   "reference's alias-profile mechanism); individual "
+                   "--no-* flags override on top")
     p.add_argument("--no-filter", action="store_true")
     p.add_argument("--no-dedup", action="store_true")
     p.add_argument("--no-near-dedup", action="store_true")
@@ -55,14 +59,25 @@ def main(argv=None) -> int:
     spark = SparkSession.builder.appName("bmpp-run").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    cfg = rules.PipelineConfig(
-        do_filter=not args.no_filter,
-        do_dedup=not args.no_dedup,
-        do_near_dedup=not args.no_near_dedup,
-        do_score=not args.no_score,
-        do_scrub=not args.no_scrub,
-        remove_duplicates=args.remove_duplicates,
-    )
+    import dataclasses
+
+    from bmpp.profiles import get_profile
+
+    base = get_profile(args.profile) if args.profile else rules.PipelineConfig()
+    overrides = {}
+    if args.no_filter:
+        overrides["do_filter"] = False
+    if args.no_dedup:
+        overrides["do_dedup"] = False
+    if args.no_near_dedup:
+        overrides["do_near_dedup"] = False
+    if args.no_score:
+        overrides["do_score"] = False
+    if args.no_scrub:
+        overrides["do_scrub"] = False
+    if args.remove_duplicates:
+        overrides["remove_duplicates"] = True
+    cfg = dataclasses.replace(base, **overrides) if overrides else base
 
     if args.input.startswith("synth:"):
         df = corpus.corpus_df(spark, int(args.input.split(":", 1)[1])).drop("plant")

@@ -1,0 +1,31 @@
+"""Named config profiles (the reference's alias-profile mechanism,
+vidarrbuild.json:2-9)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bmpp.profiles import PROFILES, get_profile
+
+
+def test_profiles_resolve():
+    for name in PROFILES:
+        cfg = get_profile(name)
+        assert cfg.config_hash()
+
+
+def test_unknown_profile_raises():
+    with pytest.raises(ValueError, match="unknown profile"):
+        get_profile("nope")
+
+
+def test_merge_only_disables_everything():
+    cfg = get_profile("merge_only")
+    assert not any(
+        [cfg.do_filter, cfg.do_dedup, cfg.do_near_dedup, cfg.do_score, cfg.do_scrub]
+    )
+
+
+def test_profiles_have_distinct_hashes():
+    hashes = [get_profile(n).config_hash() for n in PROFILES]
+    assert len(set(hashes)) == len(hashes)
