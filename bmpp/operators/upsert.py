@@ -1,0 +1,42 @@
+"""Incremental corpus refresh — MERGE INTO emulation (no Delta/Iceberg
+jar in the sandbox; the production path is `MERGE INTO processed USING
+delta ON ...`, this is the engine-agnostic anti-join + union form).
+
+A re-crawl delivers a delta of (repo, path) rows at new commits. The
+refreshed table keeps, per (repo, path):
+- the delta row when the key appears in the delta (latest commit wins
+  inside the delta itself, tie-broken by commit string desc);
+- else the existing row.
+
+Deletes are modeled as delta rows with null content → quality filter
+drops them downstream (flag-don't-drop keeps the tombstone visible).
+
+Scale: the join key (repo, path) is unskewed; both sides shuffle once
+(AQE broadcasts small deltas automatically). No window over the full
+table — the delta side is deduplicated first, so the big side is
+touched by exactly one left-anti + union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def latest_per_key(delta: DataFrame) -> DataFrame:
+    """Keep one row per (repo, path): max commit (deterministic string
+    order tie-break — commits are hex digests)."""
+    w = W.partitionBy("repo", "path").orderBy(F.col("commit").desc())
+    return (
+        delta.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def upsert(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Refreshed corpus = delta-latest ∪ (existing ⟕anti delta-keys)."""
+    d = latest_per_key(delta)
+    keys = d.select("repo", "path")
+    kept = existing.join(keys, ["repo", "path"], "left_anti")
+    return kept.unionByName(d)

@@ -491,6 +491,47 @@ FROM (
 """
 
 
+def q_incremental_upsert(spark, sf_dir):
+    """CDC/MERGE surface (bmpp.operators.upsert): treat even doc_ids as
+    the existing table and a slice of odd+even ids as the re-crawl
+    delta; per key the delta wins, others pass through."""
+    from .operators.upsert import upsert
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.md5(F.concat_ws(":", "doc_id", "lang")).alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+        "doc_id",
+    )
+    existing = d.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "generation", F.lit(0)
+    )
+    delta = d.filter(F.col("doc_id") < 200).withColumn("generation", F.lit(1))
+    out = upsert(existing, delta)
+    return out.select(
+        "repo", "path", "doc_id", "generation", F.md5("content").alias("content_hash")
+    )
+
+
+SQL_INCREMENTAL_UPSERT = """
+WITH d AS (
+  SELECT source AS repo, CAST(doc_id AS VARCHAR) AS path, doc_id, text
+  FROM documents),
+existing AS (SELECT *, 0 AS generation FROM d WHERE doc_id % 2 = 0),
+delta    AS (SELECT *, 1 AS generation FROM d WHERE doc_id < 200)
+SELECT repo, path, doc_id, CAST(generation AS INT) AS generation,
+       md5(text) AS content_hash
+FROM (
+  SELECT * FROM delta
+  UNION ALL
+  SELECT e.* FROM existing e
+  WHERE NOT EXISTS (SELECT 1 FROM delta x
+                    WHERE x.repo = e.repo AND x.path = e.path))
+"""
+
+
 def q_udtf_chunks(spark, sf_dir):
     """Python UDTF surface (Spark 4 table functions): chunk each
     document into 50-token windows — the record-splitter
@@ -1088,6 +1129,7 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "pivot_matrix": (q_pivot, SQL_PIVOT),
     "approx_aggs": (q_approx_aggs, None),
     "udtf_chunks": (q_udtf_chunks, SQL_UDTF_CHUNKS),
+    "incremental_upsert": (q_incremental_upsert, SQL_INCREMENTAL_UPSERT),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     # training-data ops
     "token_count": (q_token_count, SQL_TOKEN_COUNT),

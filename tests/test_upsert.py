@@ -1,0 +1,51 @@
+"""Incremental corpus refresh (MERGE emulation) semantics."""
+
+from __future__ import annotations
+
+from bmpp.operators.upsert import latest_per_key, upsert
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def test_delta_wins_and_others_pass_through(spark):
+    existing = spark.createDataFrame(
+        [
+            ("r", "a.py", "c1", "python", "old a"),
+            ("r", "b.py", "c1", "python", "old b"),
+        ],
+        SCHEMA,
+    )
+    delta = spark.createDataFrame(
+        [
+            ("r", "a.py", "c2", "python", "new a"),
+            ("r", "c.py", "c1", "python", "new c"),
+        ],
+        SCHEMA,
+    )
+    out = {r["path"]: r for r in upsert(existing, delta).collect()}
+    assert out["a.py"]["content"] == "new a" and out["a.py"]["commit"] == "c2"
+    assert out["b.py"]["content"] == "old b"
+    assert out["c.py"]["content"] == "new c"
+    assert len(out) == 3
+
+
+def test_latest_commit_wins_inside_delta(spark):
+    delta = spark.createDataFrame(
+        [
+            ("r", "a.py", "c1", "python", "v1"),
+            ("r", "a.py", "c3", "python", "v3"),
+            ("r", "a.py", "c2", "python", "v2"),
+        ],
+        SCHEMA,
+    )
+    rows = latest_per_key(delta).collect()
+    assert len(rows) == 1 and rows[0]["content"] == "v3"
+
+
+def test_upsert_idempotent(spark):
+    existing = spark.createDataFrame([("r", "a.py", "c1", "python", "x")], SCHEMA)
+    delta = spark.createDataFrame([("r", "a.py", "c2", "python", "y")], SCHEMA)
+    once = upsert(existing, delta)
+    twice = upsert(once, delta)
+    a, b = (sorted(map(tuple, df.collect())) for df in (once, twice))
+    assert a == b
