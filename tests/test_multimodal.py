@@ -49,6 +49,23 @@ def test_extract_features_decodes_pngs_and_isolates_errors(spark, assets_df):
             assert r["width"] is None
 
 
+def test_frame_sample_plan(spark):
+    from bmpp.multimodal import frame_sample_plan
+
+    rows = [
+        {"asset_id": 1, "kind": "video", "media": b"x" * 160,
+         "meta": {"width": 0, "height": 0, "codec": "fake"}},
+        {"asset_id": 2, "kind": "image", "media": b"y" * 64,
+         "meta": {"width": 0, "height": 0, "codec": "png"}},
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = frame_sample_plan(df, every_n=3).collect()
+    # 160 bytes / 16 bytes-per-frame = 10 frames, sampled every 3rd
+    assert [(r["asset_id"], r["frame_idx"]) for r in out] == [
+        (1, 0), (1, 3), (1, 6), (1, 9)
+    ]
+
+
 def test_extract_features_deterministic(spark, assets_df):
     a = {r["asset_id"]: r["feature_hash"]
          for r in extract_image_features(assets_df).collect()}
