@@ -34,7 +34,13 @@ def _exec(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark(app="bmpp-bench", cores=cores)
+    # RAM-backed local dirs for shuffle/persist blocks: the sandbox has
+    # one physical disk, which otherwise serializes block IO (a real
+    # cluster has per-executor local disks)
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        extra["spark.local.dir"] = "/dev/shm/bmpp_bench"
+    spark = get_spark(app="bmpp-bench", cores=cores, extra=extra)
 
     timings: dict[str, float] = {}
 
