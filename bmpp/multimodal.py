@@ -147,6 +147,9 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     n_frames = (F.length("media") / 16).cast("int")  # fake: 16 bytes/frame
     return (
         df.filter(F.col("kind") == "video")
+        # corrupt/truncated assets (media < 16 bytes → 0 frames) must
+        # not kill the job: sequence(0, -1) raises, so gate on n_frames
+        .filter(n_frames > 0)
         .withColumn(
             "frame_idx",
             F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))),

@@ -40,6 +40,27 @@ def with_keys(df: DataFrame) -> DataFrame:
     ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
 
+def dup_groups(
+    slim: DataFrame, hash_col: str, key_col: str, salt_buckets: int
+) -> DataFrame:
+    """Column-generic core of the salted two-phase dedup: returns one
+    row per duplicate GROUP → (hash_col, _rep, dup_group_size).
+
+    phase 1 groups by (hash, salt) so a mega-group fans out over
+    ``salt_buckets`` reducers; phase 2 reduces ≤salt_buckets rows per
+    hash. The output is proportional to the dup rate, never the corpus.
+    """
+    salt = F.pmod(F.xxhash64(key_col), F.lit(salt_buckets))
+    partial = slim.groupBy(hash_col, salt.alias("_salt")).agg(
+        F.min(key_col).alias("_cand"), F.count(F.lit(1)).alias("_cnt")
+    )
+    return (
+        partial.groupBy(hash_col)
+        .agg(F.min("_cand").alias("_rep"), F.sum("_cnt").alias("dup_group_size"))
+        .filter(F.col("dup_group_size") > 1)
+    )
+
+
 def dup_flags(slim: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
     """Slim flag table from (content_sha256, doc_key): one row per
     member of a duplicate group → (doc_key, is_duplicate, dup_of,
@@ -47,15 +68,7 @@ def dup_flags(slim: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
     left join fills defaults — so the table that joins back to the
     wide data is proportional to the dup rate, not the corpus, and AQE
     can usually broadcast it."""
-    salt = F.pmod(F.xxhash64("doc_key"), F.lit(cfg.dedup_salt_buckets))
-    partial = slim.groupBy("content_sha256", salt.alias("_salt")).agg(
-        F.min("doc_key").alias("_cand"), F.count(F.lit(1)).alias("_cnt")
-    )
-    groups = (
-        partial.groupBy("content_sha256")
-        .agg(F.min("_cand").alias("_rep"), F.sum("_cnt").alias("dup_group_size"))
-        .filter(F.col("dup_group_size") > 1)
-    )
+    groups = dup_groups(slim, "content_sha256", "doc_key", cfg.dedup_salt_buckets)
     # probe-side shuffle on content_sha256 is the skewed one (mega-
     # group); it is a JOIN, so AQE skewJoin splits it at runtime.
     return slim.join(groups, "content_sha256").select(

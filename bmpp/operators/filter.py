@@ -57,7 +57,9 @@ def with_heuristics(df: DataFrame) -> DataFrame:
 def heuristic_reasons(cfg: rules.PipelineConfig):
     """Array column of heuristic reason codes (nulls compacted later)."""
     return [
-        # Java \s == Python str.strip() whitespace set ([ \t\n\x0b\f\r])
+        # Java \s == [ \t\n\x0b\f\r] ONLY (narrower than Python
+        # str.strip(), which also strips Unicode whitespace); the
+        # oracle strips exactly this set to stay bit-identical
         F.when(F.col("content").rlike("^\\s*$"), rules.R_EMPTY),
         F.when(F.col("max_line_len") > cfg.max_line_len, rules.R_MAX_LINE),
         F.when(F.col("mean_line_len") > cfg.max_mean_line_len, rules.R_MEAN_LINE),

@@ -41,7 +41,10 @@ def process(rows: list[dict], cfg: rules.PipelineConfig | None = None) -> list[d
 
         reasons = set()
         if cfg.do_filter:
-            if c.strip() == "":
+            # JVM-parity whitespace set: Spark's rlike '^\s*$' matches
+            # Java \s == [ \t\n\x0b\f\r] only; Python str.strip() would
+            # also strip Unicode whitespace (\x85, \xa0,  , ...)
+            if c.strip(" \t\n\x0b\f\r") == "":
                 reasons.add(rules.R_EMPTY)
             if feats["max_line_len"] > cfg.max_line_len:
                 reasons.add(rules.R_MAX_LINE)

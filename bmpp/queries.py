@@ -78,17 +78,26 @@ FROM documents
 
 def q_dedup_exact(spark, sf_dir):
     """Op #3 (MarkDuplicates, wdl:378-396): group by content signature,
-    keep best (min doc_id), flag the rest — REMOVE_DUPLICATES=false."""
+    keep best (min doc_id), flag the rest — REMOVE_DUPLICATES=false.
+
+    Runs the engine's own skew-safe plan (operators.dedup.dup_groups:
+    salted two-phase agg + join back), NOT a window over
+    partitionBy(hash) — a 10%-of-corpus mega-group would hot-spot one
+    reducer there and AQE cannot split a Window partition. The join IS
+    AQE-splittable (guarded by tests/test_plans.py)."""
+    from .operators.dedup import dup_groups
+
     d = _t(spark, sf_dir, "documents").withColumn("content_hash", F.md5("text"))
-    w = W.partitionBy("content_hash")
-    return d.select(
+    groups = dup_groups(
+        d.select("content_hash", "doc_id"), "content_hash", "doc_id", 64
+    )
+    return d.join(groups, "content_hash", "left").select(
         "doc_id",
         "content_hash",
-        (F.count(F.lit(1)).over(w) > 1).alias("in_dup_group"),
+        F.col("dup_group_size").isNotNull().alias("in_dup_group"),
         F.when(
-            (F.count(F.lit(1)).over(w) > 1)
-            & (F.col("doc_id") != F.min("doc_id").over(w)),
-            F.min("doc_id").over(w),
+            F.col("dup_group_size").isNotNull() & (F.col("doc_id") != F.col("_rep")),
+            F.col("_rep"),
         ).alias("dup_of"),
     )
 
@@ -135,9 +144,10 @@ def q_merge_sorted(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     lane0 = d.filter(F.col("doc_id") % 2 == 0).withColumn("lane", F.lit(0))
     lane1 = d.filter(F.col("doc_id") % 2 == 1).withColumn("lane", F.lit(1))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
         lane0.unionByName(lane1)
-        .repartition(8, "source")
+        .repartition(n_parts, "source")
         .sortWithinPartitions("source", "doc_id")
         .select("doc_id", "source", "lane", "n_chars")
     )
@@ -967,7 +977,9 @@ def q_csv_json_roundtrip(spark, sf_dir):
     from pathlib import Path
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    base = Path(tempfile.gettempdir()) / f"bmpp_io_{Path(sf_dir).name}"
+    # unique dir per invocation: a shared path keyed on sf name would
+    # collide across concurrent runs / go stale on regenerated testdata
+    base = Path(tempfile.mkdtemp(prefix="bmpp_io_"))
     jdir, tdir = str(base / "json"), str(base / "tsv")
     d.write.mode("overwrite").json(jdir)
     d.write.mode("overwrite").option("sep", "\t").option("header", "true").csv(tdir)
@@ -1023,8 +1035,9 @@ def q_stream_hourly(spark, sf_dir):
 
     d = Path(tempfile.gettempdir()) / f"bmpp_events_stream_{Path(sf_dir).name}"
     d.mkdir(exist_ok=True)
-    if not (d / "events.parquet").exists():
-        shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    # ALWAYS overwrite: a skip-if-exists copy goes stale when testdata
+    # is regenerated and would silently diverge from the batch oracle
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
     return stream_hourly_counts(spark, str(d))
 
 

@@ -89,9 +89,12 @@ def content_sha256(content: str) -> str:
 TOXICITY_LEXICON = [
     "frakking", "gorram", "smegging", "felgercarb", "shazbot",
 ]
+# re.ASCII pins \b and (?i) to ASCII semantics — matching the Java
+# regex the Spark side uses (operators/score.py regexp_count), whose
+# \b/\w and case folding are ASCII-only by default
 _TOX_RE = re.compile(
     r"\b(" + "|".join(re.escape(w) for w in TOXICITY_LEXICON) + r")\b",
-    re.IGNORECASE,
+    re.IGNORECASE | re.ASCII,
 )
 
 

@@ -65,13 +65,20 @@ def brute_force_topk(
 
 def train_centroids(
     emb: DataFrame, n_cells: int, sample_rows: int = 4096,
-    vec_col: str = "embedding", iters: int = 10,
+    vec_col: str = "embedding", iters: int = 10, id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic k-means (seeded kmeans++ init + fixed Lloyd
     iterations) on a driver-side sample. At scale the sample is a
-    bounded `limit`; the training artifact ships like a model file."""
+    bounded top-k by id (a distributed TakeOrdered — never partition-
+    order dependent); the training artifact ships like a model file."""
     sample = np.array(
-        [r[0] for r in emb.select(vec_col).limit(sample_rows).collect()],
+        [
+            r[0]
+            for r in emb.select(vec_col, id_col)
+            .orderBy(id_col)
+            .limit(sample_rows)
+            .collect()
+        ],
         dtype=np.float64,
     )
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from bmpp import corpus, rules
 from bmpp.pipeline import enrich
-from bmpp.queries import q_customers_per_region
+from bmpp.queries import q_customers_per_region, q_dedup_exact
 
 SF = "/root/testdata/sf0.01"
 
@@ -70,6 +70,16 @@ def test_flag_branch_prunes_udf(spark, corpus_parquet):
     slim = base.select("content_sha256", "doc_key")
     plan = _plan(slim)
     assert "ArrowEvalPython" not in plan
+
+
+def test_dedup_exact_has_no_window_on_hash(spark):
+    """The catalog dedup query must run the skew-safe two-phase agg +
+    join, never a Window partitioned on the content hash (a mega-group
+    would hot-spot one reducer; AQE cannot split Window partitions)."""
+    plan = _plan(q_dedup_exact(spark, SF))
+    assert "Window" not in plan
+    # two-phase: the salted partial agg must be present
+    assert "HashAggregate" in plan
 
 
 def test_assemble_broadcasts_flags(spark, corpus_parquet):
