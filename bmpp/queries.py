@@ -879,35 +879,18 @@ def q_embedding_neardup(spark, sf_dir):
     of MinHash near-dup): all pairs with cosine ≥ 0.4, ids only
     (float-error-proof; min pair-gap around the threshold ≫ fp error).
 
-    Block-matmul execution: the comparison side is broadcast as ONE
-    numpy matrix; each partition of the probe side does a single
-    (batch × dim) @ (dim × N) matmul in Arrow — the same shape a
-    per-IVF-cell pass uses at 10^12 scale (bmpp.simsearch assigns
-    cells; here sf tables fit one block). ~50× faster than per-pair
-    JVM lambda cosines."""
-    import numpy as np
-    import pandas as pd
+    IVF-cell-bucketed block matmul (bmpp.simsearch.neardup_pairs):
+    vectors are partitioned by nearest-centroid cell and pairs are
+    mined inside each (cell, salt) group with one numpy matmul per
+    chunk — no full-table driver collect anywhere in the plan (the
+    only driver-side data is the bounded 4096-row centroid-training
+    sample, shipped like a model file). n_probe == n_cells here makes
+    the search exact, so it shares the brute-force all-pairs DuckDB
+    oracle; partial-probe recall is covered in tests/test_simsearch."""
+    from .simsearch import neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = e.collect()  # comparison side: small, shipped like a model
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    bids = spark.sparkContext.broadcast(ids)
-    bM = spark.sparkContext.broadcast(M)
-
-    def op(batches):
-        for pdf in batches:
-            q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-            sims = q @ bM.value.T
-            qa = pdf["vec_id"].to_numpy()
-            ai, bi = np.nonzero(sims >= 0.4)
-            a, b = qa[ai], bids.value[bi]
-            keep = a < b
-            yield pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep]})
-
-    return e.mapInPandas(op, schema="vec_a long, vec_b long")
+    return neardup_pairs(e, 0.4, n_cells=8, n_probe=8, salt_buckets=2)
 
 
 SQL_EMBEDDING_NEARDUP = """

@@ -119,6 +119,99 @@ def assign_cells(
     return emb.withColumn("cell", cell_of(F.col(vec_col)))
 
 
+def neardup_pairs(
+    emb: DataFrame, threshold: float,
+    n_cells: int = 8, n_probe: int = 8, salt_buckets: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold, mined WITHOUT any full-table
+    driver collect: IVF-cell-bucketed block matmul.
+
+    Every vector lands on two sides:
+      home  — its single nearest cell (one row per vector);
+      probe — its ``n_probe`` nearest cells (duplicated rows).
+    A pair (a, b) is emitted when a probes the cell where b is home, so
+    ``n_probe == n_cells`` makes the search EXACT (every pair meets in
+    the home cell of one endpoint); smaller n_probe trades recall for
+    touching n_probe/n_cells of the data — the IVF bargain.
+
+    Scale/skew: the group key is (cell, salt). Home members of a cell
+    are split across ``salt_buckets`` sub-groups by a key hash and the
+    probe side is replicated to every salt, so a hot cell fans out over
+    S reducers instead of one applyInPandas group holding the whole
+    cell (same salting discipline as operators.dedup). Inside a group
+    ONE (probe × home) matmul per 2048-row chunk bounds temporaries.
+    Output is canonical (min, max) pairs, deduped by an output-
+    proportional distinct().
+    """
+    C = (
+        centroids
+        if centroids is not None
+        else train_centroids(emb, n_cells, vec_col=vec_col, id_col=id_col)
+    )
+    n_probe = min(n_probe, len(C))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C.T
+        # top-n_probe cells, similarity desc, deterministic tie-break
+        # by cell id (lexsort on (-sim, id))
+        order = np.lexsort((np.arange(sims.shape[1])[None, :].repeat(len(M), 0),
+                            -sims), axis=1)[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    celled = emb.select(
+        F.col(id_col).alias("pid"), _as_double(vec_col).alias("v")
+    ).withColumn("cells", probe_cells(F.col("v")))
+    home = celled.select(
+        "pid", "v",
+        F.element_at("cells", 1).alias("cell"),
+        F.pmod(F.xxhash64("pid"), F.lit(salt_buckets)).cast("int").alias("_salt"),
+        F.lit(True).alias("is_home"),
+    )
+    probe = (
+        celled.select("pid", "v", F.explode("cells").alias("cell"))
+        .withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        )
+        .withColumn("is_home", F.lit(False))
+    )
+    both = home.unionByName(probe)
+    thr = float(threshold)
+
+    def mine(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf[pdf["is_home"]]
+        p = pdf[~pdf["is_home"]]
+        if h.empty or p.empty:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64")})
+        H = np.array(h["v"].tolist(), dtype=np.float64)
+        H /= np.maximum(np.linalg.norm(H, axis=1, keepdims=True), 1e-12)
+        hid = h["pid"].to_numpy()
+        out_a, out_b = [], []
+        for lo in range(0, len(p), 2048):
+            chunk = p.iloc[lo : lo + 2048]
+            P = np.array(chunk["v"].tolist(), dtype=np.float64)
+            P /= np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
+            pi, hi = np.nonzero(P @ H.T >= thr)
+            a, b = chunk["pid"].to_numpy()[pi], hid[hi]
+            keep = a != b
+            a, b = a[keep], b[keep]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)}
+        )
+
+    pairs = both.groupBy("cell", "_salt").applyInPandas(
+        mine, schema="vec_a long, vec_b long"
+    )
+    return pairs.distinct()
+
+
 def ivf_topk(
     emb: DataFrame, queries: DataFrame, k: int = 10,
     n_cells: int = 16, n_probe: int = 4,

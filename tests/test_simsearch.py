@@ -5,7 +5,9 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from bmpp.simsearch import brute_force_topk, ivf_topk, train_centroids
+from bmpp.simsearch import (
+    brute_force_topk, ivf_topk, neardup_pairs, train_centroids,
+)
 
 SF = "/root/testdata/sf0.01"
 K = 10
@@ -54,6 +56,41 @@ def test_ivf_recall_partial_probe(emb, queries, exact):
     hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
     recall = hits / (len(exact) * K)
     assert recall >= 0.8, f"recall@{K}={recall:.3f}"
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(emb):
+    """Ground-truth near-dup pairs: full-probe config is exact."""
+    return {
+        (r["vec_a"], r["vec_b"])
+        for r in neardup_pairs(emb, 0.4, n_cells=8, n_probe=8).collect()
+    }
+
+
+def test_neardup_full_probe_is_exact_and_salt_invariant(emb, exact_pairs):
+    """Salting is pure skew plumbing — any salt_buckets value must give
+    the identical pair set (and the all-pairs DuckDB oracle equivalence
+    is asserted in tests/test_driver_contract.py)."""
+    assert len(exact_pairs) > 0
+    salted = {
+        (r["vec_a"], r["vec_b"])
+        for r in neardup_pairs(
+            emb, 0.4, n_cells=8, n_probe=8, salt_buckets=4
+        ).collect()
+    }
+    assert salted == exact_pairs
+
+
+def test_neardup_partial_probe_recall(emb, exact_pairs):
+    # isotropic random embeddings are the IVF worst case; pairs above
+    # a 0.4 cosine threshold still mostly share their top cells
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in neardup_pairs(emb, 0.4, n_cells=8, n_probe=4).collect()
+    }
+    assert got <= exact_pairs, "partial probe must not invent pairs"
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"pair recall={recall:.3f}"
 
 
 def test_centroids_deterministic(emb):
