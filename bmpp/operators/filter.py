@@ -72,10 +72,23 @@ def heuristic_reasons(cfg: rules.PipelineConfig):
     ]
 
 
+def extra_predicate_reasons(cfg: rules.PipelineConfig):
+    """User-supplied keep predicates (additionalParams analog,
+    wdl:277,331,407): SQL boolean exprs over the heuristic columns.
+    Reason fires only when the predicate is definitively FALSE (a
+    null/unknown predicate adds no reason — same on the oracle side)."""
+    return [
+        F.when(~F.expr(p), f"custom_{i}")
+        for i, p in enumerate(cfg.extra_keep_predicates)
+    ]
+
+
 def filter_stage(df: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
     df = with_heuristics(df)
     if cfg.do_filter:
-        reasons = F.array_compact(F.array(*heuristic_reasons(cfg)))
+        reasons = F.array_compact(
+            F.array(*heuristic_reasons(cfg), *extra_predicate_reasons(cfg))
+        )
     else:
         reasons = F.array().cast("array<string>")
     return df.withColumn("_reasons_filter", reasons)

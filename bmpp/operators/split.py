@@ -1,0 +1,46 @@
+"""Record splitter stage — SplitNCigarReads analog
+(bamMergePreprocessing.wdl:398-416, RNA mode: regression cases
+Test10/11 run doFilter=false + doSplitNCigarReads=true).
+
+The reference splits one read into several at intron (N-CIGAR)
+boundaries; here one document splits into line-block chunk records.
+Entirely JVM-side (split/transform/slice/posexplode inside whole-stage
+codegen — the production path; bmpp.queries.q_udtf_chunks keeps the
+UDTF form for API parity only).
+
+Semantics, mirrored bit-exact by the oracle:
+- runs AFTER finalize: doc-level flags/reasons/stats are decided on
+  the whole document and inherited by every chunk (read-group metadata
+  discipline — the reference likewise marks duplicates on the whole
+  template, not per split segment);
+- ``content_scrubbed`` on each output row holds that chunk's text;
+  ``chunk_idx`` (0-based) and ``n_chunks`` carry the split lineage;
+- empty content still yields exactly one chunk (split('','\\n') has one
+  element), so row multiplicity is never zero and a doc_key is always
+  recoverable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import rules
+
+
+def split_records(df: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
+    L = cfg.split_max_lines
+    lines = F.split(F.col("content_scrubbed"), "\n", -1)
+    # n_chunks is computed over the ORIGINAL document before the
+    # explode replaces content_scrubbed with the chunk text
+    df = df.withColumn(
+        "n_chunks", F.ceil(F.size(lines) / F.lit(L)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("n_chunks") - 1),
+        lambda i: F.array_join(F.slice(lines, i * L + 1, L), "\n"),
+    )
+    other = [c for c in df.columns if c != "content_scrubbed"]
+    return df.select(
+        *other, F.posexplode(chunks).alias("chunk_idx", "content_scrubbed")
+    )

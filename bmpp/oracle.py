@@ -81,6 +81,35 @@ def process(rows: list[dict], cfg: rules.PipelineConfig | None = None) -> list[d
         o["_reasons"] = reasons
         out.append(o)
 
+    # --- user-supplied keep predicates (additionalParams analog) ---
+    # evaluated vectorized by DuckDB over the SAME feature values the
+    # Spark side computed; reason fires only on a definitive FALSE
+    # (NULL adds no reason — mirrors F.when(~expr) semantics).
+    if cfg.do_filter and cfg.extra_keep_predicates:
+        import duckdb
+        import pandas as pd
+
+        feat_cols = [
+            "repo", "path", "commit", "lang", "content", "n_chars",
+            "alpha_ratio", "n_lines", "max_line_len", "mean_line_len",
+            "distinct_line_ratio",
+        ]
+        feats = pd.DataFrame(
+            [{c: (o[c] if c != "content" else r["content"])
+              for c in feat_cols}
+             for o, r in zip(out, rows)]
+        )
+        con = duckdb.connect()
+        con.register("feats", feats)
+        sel = ", ".join(
+            f"({p}) AS p{i}" for i, p in enumerate(cfg.extra_keep_predicates)
+        )
+        res = con.execute(f"SELECT {sel} FROM feats").fetchall()
+        for o, vals in zip(out, res):
+            for i, v in enumerate(vals):
+                if v is False:
+                    o["_reasons"].add(f"custom_{i}")
+
     # --- exact dedup (MarkDuplicates analog: flag, don't drop) ---
     if cfg.do_dedup:
         groups: dict[str, list[dict]] = defaultdict(list)
@@ -128,11 +157,29 @@ def process(rows: list[dict], cfg: rules.PipelineConfig | None = None) -> list[d
     # --- scrub (IndelRealigner analog: byte-exact rewrite) ---
     for o in out:
         if cfg.do_scrub:
-            scrubbed, n = rules.scrub(o["content"])
+            scrubbed, n = rules.scrub(
+                o["content"], tuple(tuple(e) for e in cfg.extra_scrub_patterns)
+            )
         else:
             scrubbed, n = o["content"], 0
         o["content_scrubbed"], o["scrub_count"] = scrubbed, n
         o["scrubbed_sha256"] = rules.content_sha256(scrubbed)
         o["drop_reasons"] = sorted(o.pop("_reasons"))
         o["keep"] = not o["drop_reasons"]
+
+    # --- record splitter (SplitNCigarReads analog, RNA mode) ---
+    # one row per line-block chunk; doc-level flags inherited
+    if cfg.do_split:
+        L = cfg.split_max_lines
+        expanded = []
+        for o in out:
+            lines = o["content_scrubbed"].split("\n")
+            n = -(-len(lines) // L)  # ceil; ≥ 1 even for empty content
+            for j in range(n):
+                c = dict(o)
+                c["n_chunks"] = n
+                c["chunk_idx"] = j
+                c["content_scrubbed"] = "\n".join(lines[j * L : (j + 1) * L])
+                expanded.append(c)
+        out = expanded
     return out

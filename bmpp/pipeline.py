@@ -33,6 +33,7 @@ from .operators.filter import filter_stage
 from .operators.neardup import near_flags
 from .operators.regroup import finalize
 from .operators.score import score_reasons
+from .operators.split import split_records
 from .udfs import make_enrich_udf
 
 STAGES = ["enrich", "dupflags", "nearflags", "final"]
@@ -101,7 +102,12 @@ def _assemble(
             .withColumn("dup_group_size", F.lit(1).cast("long"))
             .withColumn("near_dup_of", F.lit(None).cast("string"))
         )
-    return finalize(out, cfg)
+    out = finalize(out, cfg)
+    if cfg.do_split:
+        # SplitNCigarReads analog (RNA mode, wdl:398-416): doc-level
+        # flags decided above are inherited by every chunk record
+        out = split_records(out, cfg)
+    return out
 
 
 def _dup_keys(dupf: DataFrame | None, base: DataFrame) -> DataFrame:

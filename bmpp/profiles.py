@@ -27,6 +27,11 @@ PROFILES: dict[str, PipelineConfig] = {
     # strict thresholds (Test2's minMapQuality=60 analog)
     "strict": PipelineConfig(min_alpha_ratio=0.5, max_perplexity=3.0,
                              min_langid_conf=0.6),
+    # RNA mode (regression Test10/11: doFilter=false +
+    # doSplitNCigarReads=true): record splitter on, heuristic filter off
+    "rna_split": PipelineConfig(do_filter=False, do_split=True),
+    # splitter on top of the full default pipeline (Test8/9 analog)
+    "split": PipelineConfig(do_split=True),
 }
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 # --------------------------------------------------------------------------
 # thresholds (the "filterFlags/minMapQuality" of this engine)
@@ -116,26 +117,42 @@ SCRUB_PACK: list[tuple[str, str]] = [
         r"\1\2\"<SECRET>\"",
     ),
 ]
-_SCRUB_COMPILED = [(re.compile(p), r) for p, r in SCRUB_PACK]
-_CANDIDATE_RE = re.compile(
-    "|".join(f"(?:{p})" for p, _ in SCRUB_PACK)
-)
+@lru_cache(maxsize=32)
+def _scrub_pack(extra: tuple[tuple[str, str], ...]):
+    """Compiled (pattern, repl) list + one fused candidate regex for
+    the base pack plus any user-supplied extra patterns (the
+    ``additionalParams`` analog, bamMergePreprocessing.wdl:277,331,407).
+    Cached per distinct extra tuple — compiled once per worker."""
+    pats = list(SCRUB_PACK) + [tuple(e) for e in extra]
+    compiled = [(re.compile(p), r) for p, r in pats]
+    try:
+        cand = re.compile("|".join(f"(?:{p})" for p, _ in pats))
+    except re.error:
+        # a user pattern with a GLOBAL inline flag (e.g. '(?i)foo')
+        # can't be fused into one alternation; fall back to per-pattern
+        # candidate search (prefer scoped flags '(?i:foo)' for speed)
+        cand = None
+    return compiled, cand
 
 
-def scrub_candidate(content: str) -> bool:
+def scrub_candidate(content: str, extra: tuple = ()) -> bool:
     """Cheap detect pass (realignerTargetCreator analog,
     bamMergePreprocessing.wdl:538-597): does this row need a rewrite?"""
-    return _CANDIDATE_RE.search(content) is not None
+    compiled, cand = _scrub_pack(tuple(extra))
+    if cand is not None:
+        return cand.search(content) is not None
+    return any(p.search(content) for p, _ in compiled)
 
 
-def scrub(content: str) -> tuple[str, int]:
-    """Apply the full pack in order; returns (scrubbed, n_replacements).
+def scrub(content: str, extra: tuple = ()) -> tuple[str, int]:
+    """Apply the full pack (base + extra, in order); returns
+    (scrubbed, n_replacements).
 
     indelRealign analog (bamMergePreprocessing.wdl:599-679) — rewrites
     content in place while lineage columns pass through untouched.
     """
     total = 0
-    for pat, repl in _SCRUB_COMPILED:
+    for pat, repl in _scrub_pack(tuple(extra))[0]:
         content, n = pat.subn(repl, content)
         total += n
     return content, total
@@ -154,6 +171,8 @@ class PipelineConfig:
     do_near_dedup: bool = True       # ≈ optical-duplicate detection (wdl:282)
     do_score: bool = True            # ≈ doBqsr (wdl:18)
     do_scrub: bool = True            # ≈ doIndelRealignment (wdl:17)
+    do_split: bool = False           # ≈ doSplitNCigarReads (wdl:16, RNA mode)
+    split_max_lines: int = 500       # chunk size for the record splitter
     remove_duplicates: bool = False  # ≈ removeDuplicates (wdl:281, default false)
     max_line_len: int = MAX_LINE_LEN
     max_mean_line_len: float = MAX_MEAN_LINE_LEN
@@ -173,6 +192,19 @@ class PipelineConfig:
     minhash_perms: int = 64
     lsh_bands: int = 8               # 8 bands × 8 rows
     shingle_k: int = 5               # char-shingle width (words for code)
+    # --- user-composable escape hatches (additionalParams analog:
+    # every reference task takes free-form extra params / composable
+    # --read-filter lists, wdl:277,283,291,331,407) ---
+    # SQL boolean exprs over the enriched heuristic columns (n_chars,
+    # alpha_ratio, n_lines, max_line_len, mean_line_len,
+    # distinct_line_ratio, repo, path, lang, content); a row violating
+    # predicate i gains drop reason "custom_i". Evaluated by Spark
+    # (F.expr) AND by the oracle (DuckDB over the same feature values),
+    # so keep them dialect-portable (comparisons / AND / OR / NOT).
+    extra_keep_predicates: tuple = ()
+    # extra (regex, replacement) pairs appended to SCRUB_PACK, applied
+    # in order after the base pack on both engine and oracle sides.
+    extra_scrub_patterns: tuple = ()
 
     def config_hash(self) -> str:
         import json

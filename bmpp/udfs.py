@@ -84,6 +84,7 @@ def make_enrich_udf(cfg):
     schema = T.StructType(fields)
     n_perms, n_bands, k = cfg.minhash_perms, cfg.lsh_bands, cfg.shingle_k
     do_score, do_near, do_scrub = cfg.do_score, cfg.do_near_dedup, cfg.do_scrub
+    extra_scrub = tuple(tuple(e) for e in cfg.extra_scrub_patterns)
 
     @F.pandas_udf(schema)
     def enrich_udf(content: pd.Series) -> pd.DataFrame:
@@ -107,8 +108,8 @@ def make_enrich_udf(cfg):
                 # cheap detect-then-rewrite: one search for the 94% of
                 # rows with nothing to scrub (identical result to
                 # rules.scrub, which returns (t, 0) for them anyway)
-                if rules.scrub_candidate(t):
-                    s, n = rules.scrub(t)
+                if rules.scrub_candidate(t, extra_scrub):
+                    s, n = rules.scrub(t, extra_scrub)
                 else:
                     s, n = t, 0
                 scrubbed.append(s)

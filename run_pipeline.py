@@ -40,6 +40,18 @@ def main(argv=None) -> int:
     p.add_argument("--no-score", action="store_true")
     p.add_argument("--no-scrub", action="store_true")
     p.add_argument("--remove-duplicates", action="store_true")
+    p.add_argument(
+        "--keep-predicate", action="append", default=[], metavar="SQL_EXPR",
+        help="extra keep predicate (repeatable) over the heuristic "
+        "columns, e.g. 'n_chars <= 50000'; a violating row gains drop "
+        "reason custom_<i> (the reference's additionalParams / "
+        "composable --read-filter analog)",
+    )
+    p.add_argument(
+        "--scrub-pattern", action="append", default=[], metavar="REGEX=REPL",
+        help="extra scrub rewrite appended to the base pack "
+        "(repeatable), e.g. '(?i)internal-hostname-[a-z0-9]+=<HOST>'",
+    )
     p.add_argument("--buckets", type=int, default=32)
     p.add_argument(
         "--sink", choices=["parquet", "noop"], default="parquet",
@@ -77,6 +89,16 @@ def main(argv=None) -> int:
         overrides["do_scrub"] = False
     if args.remove_duplicates:
         overrides["remove_duplicates"] = True
+    if args.keep_predicate:
+        overrides["extra_keep_predicates"] = tuple(args.keep_predicate)
+    if args.scrub_pattern:
+        pairs = []
+        for s in args.scrub_pattern:
+            if "=" not in s:
+                p.error(f"--scrub-pattern needs REGEX=REPL, got {s!r}")
+            pat, repl = s.split("=", 1)
+            pairs.append((pat, repl))
+        overrides["extra_scrub_patterns"] = tuple(pairs)
     cfg = dataclasses.replace(base, **overrides) if overrides else base
 
     if args.input.startswith("synth:"):

@@ -30,6 +30,21 @@ CASES = {
         do_filter=False, do_dedup=False, do_near_dedup=False,
         do_score=False, do_scrub=False,
     ),
+    # additionalParams analog (wdl:277,331,407): user-injected keep
+    # predicates + an extra scrub rewrite, oracle agreement exact
+    "custom_params": rules.PipelineConfig(
+        extra_keep_predicates=(
+            "n_chars <= 1200",
+            "mean_line_len <= 90.0 OR lang = 'markdown'",
+        ),
+        extra_scrub_patterns=(("(?i)\\bTODO\\b", "<TODO>"),),
+    ),
+    # RNA mode (Test10/11: doFilter=false + doSplitNCigarReads=true)
+    "rna_split_no_filter": rules.PipelineConfig(
+        do_filter=False, do_split=True, split_max_lines=20
+    ),
+    # splitter on top of the full pipeline (Test8/9 analog)
+    "split_full": rules.PipelineConfig(do_split=True, split_max_lines=20),
 }
 
 
@@ -43,16 +58,29 @@ def src(spark):
     return corpus.corpus_df(spark, N, partitions=8).drop("plant")
 
 
+def _key(r):
+    # split-enabled cases emit one row per chunk — key by (doc, chunk)
+    return (r["doc_key"], r["chunk_idx"] if "chunk_idx" in r else None)
+
+
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_flag_case_matches_oracle(spark, src, rows, name):
     cfg = CASES[name]
-    want = {o["doc_key"]: o for o in oracle.process(rows, cfg)}
+    expected = oracle.process(rows, cfg)
+    want = {_key(o): o for o in expected}
     got = build_plan(src, cfg).collect()
-    assert len(got) == N
+    assert len(got) == len(expected)
+    if cfg.do_split:
+        assert len(got) > N, "splitter must produce multi-chunk docs"
     for r in got:
-        o = want[r["doc_key"]]
-        assert r["keep"] == o["keep"], (name, r["doc_key"])
-        assert r["drop_reasons"] == o["drop_reasons"], (name, r["doc_key"])
-        assert r["is_duplicate"] == o["is_duplicate"], (name, r["doc_key"])
-        assert r["near_dup_of"] == o["near_dup_of"], (name, r["doc_key"])
-        assert r["scrub_count"] == o["scrub_count"], (name, r["doc_key"])
+        rd = r.asDict()
+        o = want[_key(rd)]
+        k = (name, rd["doc_key"])
+        assert r["keep"] == o["keep"], k
+        assert r["drop_reasons"] == o["drop_reasons"], k
+        assert r["is_duplicate"] == o["is_duplicate"], k
+        assert r["near_dup_of"] == o["near_dup_of"], k
+        assert r["scrub_count"] == o["scrub_count"], k
+        if cfg.do_split:
+            assert r["n_chunks"] == o["n_chunks"], k
+            assert r["content_scrubbed"] == o["content_scrubbed"], k
