@@ -40,3 +40,22 @@ def upsert(existing: DataFrame, delta: DataFrame) -> DataFrame:
     keys = d.select("repo", "path")
     kept = existing.join(keys, ["repo", "path"], "left_anti")
     return kept.unionByName(d)
+
+
+def merge_into_sql(
+    target: str, source: str, key_cols: list[str], value_cols: list[str]
+) -> str:
+    """The MERGE INTO statement the production (Iceberg/Delta) path
+    runs instead of the anti-join emulation above — same semantics:
+    matched keys take the delta row, unmatched delta rows insert.
+    Generated as text so the statement is unit-testable without a
+    table-format jar (bmpp.io.IcebergSnapshotIO.merge consumes it)."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in value_cols)
+    cols = ", ".join(key_cols + value_cols)
+    svals = ", ".join(f"s.{c}" for c in key_cols + value_cols)
+    return (
+        f"MERGE INTO {target} t USING {source} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({svals})"
+    )

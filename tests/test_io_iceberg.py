@@ -1,0 +1,75 @@
+"""Iceberg production-path surface: statement generation + config
+gating must be correct WITHOUT the runtime jar (the sandbox boundary —
+SURVEY.md §1.3, BASELINE.json resume rule)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bmpp.io import IcebergSnapshotIO
+from bmpp.operators.upsert import merge_into_sql
+
+
+@pytest.fixture(scope="module")
+def ice():
+    return IcebergSnapshotIO("lake", "bmpp")
+
+
+def test_table_identifier(ice):
+    assert ice._table("enrich") == "lake.bmpp.enrich"
+
+
+def test_exists_sql_text(ice):
+    assert ice.exists_sql("enrich", "abc123") == (
+        "SELECT value FROM lake.bmpp.enrich.properties "
+        "WHERE key = 'bmpp.config_hash'"
+    )
+
+
+def test_table_properties_carry_config_hash(ice):
+    props = ice.table_properties("abc123")
+    assert props["bmpp.config_hash"] == "abc123"
+    assert props["format-version"] == "2"
+
+
+def test_merge_sql_text(ice):
+    got = ice.merge_sql("final", ["repo", "path"], ["commit", "content"])
+    assert got == (
+        "MERGE INTO lake.bmpp.final t USING bmpp_delta s "
+        "ON t.repo = s.repo AND t.path = s.path "
+        "WHEN MATCHED THEN UPDATE SET t.commit = s.commit, "
+        "t.content = s.content "
+        "WHEN NOT MATCHED THEN INSERT (repo, path, commit, content) "
+        "VALUES (s.repo, s.path, s.commit, s.content)"
+    )
+
+
+def test_merge_into_sql_standalone():
+    got = merge_into_sql("t1", "d1", ["k"], ["v"])
+    assert "MERGE INTO t1 t USING d1 s ON t.k = s.k" in got
+    assert "WHEN MATCHED THEN UPDATE SET t.v = s.v" in got
+
+
+def test_gating_without_catalog(spark, ice):
+    """No Iceberg catalog on the sandbox session → availability is
+    False and every execution method fails CLEANLY (RuntimeError with
+    remediation text), never a JVM ClassNotFound."""
+    assert ice.is_available(spark) is False
+    df = spark.range(1)
+    with pytest.raises(RuntimeError, match="not configured"):
+        ice.write(df, "enrich", "abc123")
+    with pytest.raises(RuntimeError, match="not configured"):
+        ice.read(spark, "enrich", "abc123")
+    with pytest.raises(RuntimeError, match="not configured"):
+        ice.merge(spark, df, "final", ["id"], ["id"])
+
+
+def test_gating_with_configured_catalog(spark, ice):
+    """is_available flips on the catalog conf key alone (what the
+    Iceberg runtime sets) — the availability check must not need the
+    jar itself."""
+    spark.conf.set("spark.sql.catalog.lake", "org.example.FakeCatalog")
+    try:
+        assert ice.is_available(spark) is True
+    finally:
+        spark.conf.unset("spark.sql.catalog.lake")

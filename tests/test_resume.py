@@ -47,6 +47,39 @@ def test_full_run_then_resume_is_noop(spark, src, tmp_path):
     }
 
 
+def test_partition_lineage_reconciles(spark, src, tmp_path):
+    """north_rule 'per-partition lineage': every committed stage carries
+    per-partition (rows, key_digest) rows whose totals reconcile with
+    the snapshot contents and the manifest — including across a
+    kill/resume."""
+    cfg = rules.PipelineConfig()
+    io = ParquetSnapshotIO(str(tmp_path))
+    run_resumable(spark, src, cfg, io)
+    ch = cfg.config_hash()
+    for stage in ("enrich", "dupflags", "nearflags", "final"):
+        lin = io.read_lineage(spark, stage, ch).collect()
+        total = sum(r["rows"] for r in lin)
+        assert total == io.read(spark, stage, ch).count(), stage
+        manifest = next(
+            m for m in io.lineage()
+            if m["stage"] == stage and m["config_hash"] == ch
+        )
+        assert manifest["total_rows"] == total, stage
+        assert manifest["n_partitions"] == len(lin), stage
+        # digests are per-partition and non-degenerate
+        assert len({(r["partition_id"]) for r in lin}) == len(lin)
+    # per-row stages preserve cardinality end to end
+    assert (
+        sum(r["rows"] for r in io.read_lineage(spark, "final", ch).collect())
+        == N
+    )
+    # kill "final", resume, lineage must be rewritten and still reconcile
+    (tmp_path / "final" / f"snap-{ch}" / "_BMPP_MANIFEST.json").unlink()
+    run_resumable(spark, src, cfg, io)
+    lin2 = io.read_lineage(spark, "final", ch).collect()
+    assert sum(r["rows"] for r in lin2) == N
+
+
 def test_killed_stage_rerun_is_idempotent(spark, src, tmp_path):
     cfg = rules.PipelineConfig()
     io = ParquetSnapshotIO(str(tmp_path))
