@@ -1087,13 +1087,65 @@ def q_langid(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash over char-4-gram features (Charikar 2002) —
-    UDF-backed, no SQL oracle; hamming-adjacent docs are near-dup
-    candidates."""
-    from .udfs import simhash_udf
-
+    """64-bit SimHash over char-4-gram features (Charikar 2002):
+    per-gram md5 → 64 bit-votes → majority bit string. Entirely
+    JVM-side higher-order functions (one codegen pass, NO shuffle, no
+    Python), and md5 is dialect-portable, so this op carries a full
+    DuckDB value-hash oracle. Bit order: hex-digit-major,
+    little-endian within digit; ties vote 0. The Arrow-UDF variant
+    (xxhash-based, bmpp.udfs.simhash_udf) is the pipeline-internal
+    form, covered by pytest hamming tests."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+    expr = """
+    concat_ws('',
+      transform(
+        aggregate(
+          transform(
+            CASE WHEN length(text) >= 4
+                 THEN sequence(1, length(text) - 3)
+                 ELSE cast(array() AS array<int>) END,
+            i -> substring(md5(substring(lower(text), i, 4)), 1, 16)
+          ),
+          array_repeat(0L, 64),
+          (acc, h) -> zip_with(
+            acc,
+            flatten(transform(sequence(1, 16), dd ->
+              transform(sequence(0, 3), k ->
+                shiftright(instr('0123456789abcdef', substring(h, dd, 1)) - 1, k) & 1
+              ))),
+            (a, b) -> a + b)
+        ),
+        v -> CASE WHEN 2 * v > greatest(length(text) - 3, 0) THEN '1' ELSE '0' END
+      )
+    )
+    """
+    return d.select("doc_id", F.expr(expr).alias("simhash_bits"))
+
+
+SQL_SIMHASH = """
+WITH sh AS (
+  SELECT doc_id, md5(substring(lower(text), CAST(i AS INT), 4)) AS h
+  FROM documents, unnest(range(1, greatest(length(text) - 3, 0) + 1)) AS t(i)
+),
+bits AS (
+  SELECT doc_id,
+         (d - 1) * 4 + k AS bit_idx,
+         ((strpos('0123456789abcdef', substring(h, CAST(d AS INT), 1)) - 1) >> k) & 1 AS bit
+  FROM sh, unnest(range(1, 17)) AS dd(d), unnest(range(0, 4)) AS kk(k)
+),
+votes AS (
+  SELECT doc_id, bit_idx, CAST(sum(bit) AS BIGINT) AS s, count(*) AS ns
+  FROM bits GROUP BY doc_id, bit_idx
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN 2 * s > ns THEN '1' ELSE '0' END, ''
+                    ORDER BY bit_idx) AS simhash_bits
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.simhash_bits, repeat('0', 64)) AS simhash_bits
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
 
 
 # =====================================================================
@@ -1145,6 +1197,6 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     # non-SQL-expressible (rows-only check)
     "minhash_neardup": (q_minhash_neardup, None),
     "langid_score": (q_langid, None),
-    "simhash": (q_simhash, None),
+    "simhash": (q_simhash, SQL_SIMHASH),
     "multimodal_features": (q_multimodal_features, None),
 }

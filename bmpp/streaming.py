@@ -105,35 +105,37 @@ def stream_exact_dedup(
     return _run_to_memory(out, "append")
 
 
-def stream_group_dedup_counts(
-    spark: SparkSession, input_dir: str, schema
-) -> DataFrame:
-    """Custom stateful streaming operator via ``applyInPandasWithState``:
-    per group (repo), maintain the set of content hashes seen so far
-    (as state) and emit, per micro-batch, the running counts of rows
-    vs distinct-new rows — an incremental MarkDuplicates metrics
-    stream (the `.metrics` side output, wdl:385,446, as a live feed).
+DEDUP_STREAM_SCHEMA = (
+    "repo string, rows_total long, distinct_total long, "
+    "dups_total long, state_size long"
+)
 
-    State: one row per repo holding (hashes_seen, rows_total,
-    dups_total). In production a watermark + TTL bounds it; here the
-    GroupStateTimeout is NoTimeout because the demo input is finite.
-    """
+
+def _group_dedup_stream(
+    spark: SparkSession, input_dir: str, schema,
+    max_state_hashes: int | None, state_ttl_ms: int | None,
+) -> DataFrame:
+    """Shared plan for the stateful dedup-metrics stream (docs on
+    ``stream_group_dedup_counts`` / ``start_group_dedup_stream``)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     src = with_keys(spark.readStream.schema(schema).parquet(input_dir))
     slim = src.select("repo", "content_sha256")
-
-    out_schema = (
-        "repo string, rows_total long, distinct_total long, dups_total long"
-    )
     state_schema = "hashes array<string>, rows long, dups long"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
 
     def update(key, pdfs, state: GroupState):
-        seen, rows, dups = (
-            state.get if state.exists else ([], 0, 0)
-        )
-        seen = set(seen)
+        if state.hasTimedOut:
+            state.remove()  # idle group: drop state wholesale
+            return
+        order, rows, dups = state.get if state.exists else ([], 0, 0)
+        order = list(order)  # insertion-ordered → deterministic eviction
+        seen = set(order)
         for pdf in pdfs:
             for h in pdf["content_sha256"]:
                 rows += 1
@@ -141,20 +143,78 @@ def stream_group_dedup_counts(
                     dups += 1
                 else:
                     seen.add(h)
-        state.update((list(seen), rows, dups))
+                    order.append(h)
+                    if max_state_hashes and len(order) > max_state_hashes:
+                        seen.discard(order.pop(0))
+        state.update((order, rows, dups))
+        if state_ttl_ms:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             {
                 "repo": [key[0]],
                 "rows_total": [rows],
-                "distinct_total": [len(seen)],
+                "distinct_total": [rows - dups],
                 "dups_total": [dups],
+                "state_size": [len(order)],
             }
         )
 
-    result = slim.groupBy("repo").applyInPandasWithState(
-        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    return slim.groupBy("repo").applyInPandasWithState(
+        update, DEDUP_STREAM_SCHEMA, state_schema, "update", timeout
     )
-    return _run_to_memory(result, "update")
+
+
+def stream_group_dedup_counts(
+    spark: SparkSession, input_dir: str, schema,
+    max_state_hashes: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per group (repo), maintain the set of content hashes seen so far
+    (as state) and emit, per micro-batch, the running counts of rows
+    vs distinct-new rows — an incremental MarkDuplicates metrics
+    stream (the `.metrics` side output, wdl:385,446, as a live feed).
+
+    State bounding (required for an unbounded stream — state would
+    otherwise grow with the distinct-hash count forever):
+    ``max_state_hashes`` caps the per-group hash set with FIFO eviction
+    (insertion order is part of the state, so eviction is
+    deterministic). Past the cap, dedup becomes sliding-window
+    approximate: a hash evicted and re-seen counts as new. Totals
+    (rows_total) stay exact; the emitted ``state_size`` column makes
+    the bound observable/testable.
+
+    This helper drains synchronously (processAllAvailable) — for the
+    TTL form use ``start_group_dedup_stream``: a drain-to-completion
+    trigger can never settle while processing-time timeouts are
+    pending (the engine keeps planning timeout batches), so TTL is
+    only meaningful on a continuously running query.
+    """
+    plan = _group_dedup_stream(spark, input_dir, schema, max_state_hashes, None)
+    return _run_to_memory(plan, "update")
+
+
+def start_group_dedup_stream(
+    spark: SparkSession, input_dir: str, schema, sink_table: str,
+    max_state_hashes: int | None = None,
+    state_ttl_ms: int | None = None,
+    trigger_ms: int = 250,
+):
+    """Continuous form of ``stream_group_dedup_counts`` with idle-group
+    TTL: groups quiet for ``state_ttl_ms`` (ProcessingTimeTimeout) are
+    dropped wholesale — the keyed-state watermark analog, so abandoned
+    repos cannot pin executor memory forever. Returns the RUNNING
+    StreamingQuery writing to the ``sink_table`` memory sink; the
+    caller owns stop()."""
+    plan = _group_dedup_stream(
+        spark, input_dir, schema, max_state_hashes, state_ttl_ms
+    )
+    return (
+        plan.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink_table)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .start()
+    )
 
 
 def stream_hourly_counts(spark: SparkSession, events_dir: str) -> DataFrame:

@@ -1,0 +1,75 @@
+"""Host scaling-ceiling probe (BENCH/BASELINE.md protocol).
+
+Measures what THIS box gives a perfectly parallel, shared-nothing
+workload at each core count — the upper bound any engine can reach on
+a single machine whose cores share one memory controller. The workload
+imitates the engine's per-row profile (UTF-8 string slicing, hashing,
+small-array numpy) with zero coordination: N forked workers, disjoint
+work, one join at the end.
+
+Run while the box is otherwise quiet:
+    python scripts/host_ceiling.py [items_per_core]
+Prints one JSON line: {"walls": {n: sec}, "eff": {"1->4":, "2->8":}}.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import multiprocessing as mp
+import sys
+import time
+
+import numpy as np
+
+LEVELS = [1, 2, 4, 8]
+ITEMS_PER_CORE = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
+
+
+def work_one(i: int) -> int:
+    """Per-item work ≈ one document through the enrich UDF: bytes in,
+    hashes + ngram-ish array math out. Pure function of i."""
+    rng = np.random.RandomState(i & 0x7FFFFFFF)
+    text = rng.bytes(3000)
+    acc = 0
+    for k in range(0, len(text) - 4, 7):
+        acc ^= int.from_bytes(hashlib.md5(text[k : k + 4]).digest()[:8], "little")
+    arr = np.frombuffer(text, dtype=np.uint8).astype(np.int64)
+    acc ^= int((arr[:-1] * 31 + arr[1:]).sum())
+    acc ^= int(np.sort(arr[:1024]).sum())
+    return acc & 0xFFFF
+
+
+def run_chunk(args) -> int:
+    lo, hi = args
+    s = 0
+    for i in range(lo, hi):
+        s ^= work_one(i)
+    return s
+
+
+def measure(n_procs: int, total_items: int) -> float:
+    bounds = np.linspace(0, total_items, n_procs + 1).astype(int)
+    chunks = [(int(bounds[j]), int(bounds[j + 1])) for j in range(n_procs)]
+    t0 = time.time()
+    with mp.Pool(n_procs) as pool:
+        checks = pool.map(run_chunk, chunks)
+    wall = time.time() - t0
+    assert len(checks) == n_procs
+    return wall
+
+
+def main() -> None:
+    total = ITEMS_PER_CORE * max(LEVELS)  # same total work at every level
+    walls = {}
+    for n in LEVELS:
+        walls[n] = round(min(measure(n, total) for _ in range(2)), 2)
+    eff = {
+        "1->4": round(walls[1] / walls[4] / 4, 3),
+        "2->8": round(walls[2] / walls[8] / 4, 3),
+    }
+    print(json.dumps({"walls": walls, "eff": eff, "total_items": total}))
+
+
+if __name__ == "__main__":
+    main()

@@ -136,3 +136,30 @@ class TestHeuristics:
         # must mirror Spark split(col, '\n', -1)
         h = rules.heuristics("a\n\n")
         assert h["n_lines"] == 3
+
+
+class TestSimhashUdf:
+    """Pipeline-internal xxhash SimHash (bmpp.udfs.simhash_udf): the
+    SQL-verifiable md5 variant lives in queries.q_simhash; this one is
+    covered here for determinism + the hamming locality property."""
+
+    def test_deterministic_and_local(self, spark):
+        from pyspark.sql import functions as F
+
+        from bmpp.udfs import simhash_udf
+
+        a = "def main():\n    return compute_totals(rows, key)\n" * 4
+        b = a.replace("totals", "total5")  # near-identical
+        c = "SELECT x FROM t WHERE y > 0 ORDER BY z LIMIT 10" * 3
+        df = spark.createDataFrame(
+            [(0, a), (1, a), (2, b), (3, c)], "id int, text string"
+        )
+        got = {
+            r["id"]: r["h"]
+            for r in df.select("id", simhash_udf(F.col("text")).alias("h")).collect()
+        }
+        assert got[0] == got[1], "same text must hash identically"
+        ham_ab = bin((got[0] ^ got[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        ham_ac = bin((got[0] ^ got[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        assert ham_ab < ham_ac, "near-dup must be hamming-closer than unrelated"
+        assert ham_ab <= 16

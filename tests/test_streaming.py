@@ -83,6 +83,100 @@ def test_stream_stateful_dedup_counts_match_batch(spark, corpus_dir):
     assert got == want
 
 
+def test_stream_stateful_dedup_state_is_bounded(spark, corpus_dir):
+    """With max_state_hashes set, per-group state never exceeds the cap
+    (FIFO eviction) while rows_total stays exact — the unbounded-state
+    production hazard is closed."""
+    from pyspark.sql import functions as F
+
+    from bmpp.streaming import stream_group_dedup_counts
+
+    schema = spark.read.parquet(corpus_dir).schema
+    cap = 10
+    rows = stream_group_dedup_counts(
+        spark, corpus_dir, schema, max_state_hashes=cap
+    ).collect()
+    assert rows, "stream produced no state rows"
+    assert all(r["state_size"] <= cap for r in rows)
+    # exact totals survive the bounding
+    final = {}
+    for r in rows:
+        cur = final.get(r["repo"])
+        if cur is None or r["rows_total"] > cur:
+            final[r["repo"]] = r["rows_total"]
+    want = {
+        r["repo"]: r["rows"]
+        for r in spark.read.parquet(corpus_dir)
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    }
+    assert final == want
+
+
+def test_stream_stateful_dedup_ttl_expiry(spark, tmp_path_factory):
+    """TTL expiry scenario: wave 1 → idle past the TTL (state dropped
+    via ProcessingTimeTimeout) → identical wave 2. If state survived,
+    counters would continue (rows_total = 2N, all wave-2 rows dups);
+    after expiry the group restarts (rows_total = N again)."""
+    import shutil
+    import time
+
+    from bmpp import corpus
+    from bmpp.streaming import start_group_dedup_stream
+
+    stage = tmp_path_factory.mktemp("ttl_stage")
+    stream_dir = tmp_path_factory.mktemp("ttl_stream")
+    corpus.corpus_df(spark, 80, partitions=1).drop("plant").write.mode(
+        "overwrite"
+    ).parquet(str(stage))
+    parts = sorted(stage.glob("part-*.parquet"))
+    assert parts
+    shutil.copy(parts[0], stream_dir / "wave1.parquet")
+
+    schema = spark.read.parquet(str(stage)).schema
+    wave_totals = {
+        r["repo"]: r["n"]
+        for r in spark.read.parquet(str(stream_dir))
+        .groupBy("repo").count().withColumnRenamed("count", "n").collect()
+    }
+
+    def _rows():
+        return spark.table("bmpp_ttl_sink").collect()
+
+    def _wait(pred, timeout_s=60):
+        t0 = time.time()
+        while time.time() - t0 < timeout_s:
+            if pred(_rows()):
+                return True
+            time.sleep(0.5)
+        return False
+
+    q = start_group_dedup_stream(
+        spark, str(stream_dir), schema, "bmpp_ttl_sink",
+        state_ttl_ms=2_000, trigger_ms=200,
+    )
+    try:
+        repo = max(wave_totals, key=wave_totals.get)
+        n = wave_totals[repo]
+        assert _wait(
+            lambda rows: any(
+                r["repo"] == repo and r["rows_total"] == n for r in rows
+            )
+        ), "wave 1 never fully processed"
+        time.sleep(8)  # 4× TTL: idle groups must time out and drop
+        n_before = len(_rows())
+        shutil.copy(parts[0], stream_dir / "wave2.parquet")
+        assert _wait(lambda rows: len(rows) > n_before), "wave 2 not processed"
+        final = [r for r in _rows() if r["repo"] == repo][-1]
+        assert final["rows_total"] == n, (
+            f"state survived the TTL: rows_total={final['rows_total']} "
+            f"(expected restart at {n})"
+        )
+    finally:
+        q.stop()
+
+
 def test_stream_hourly_matches_batch(spark, tmp_path_factory):
     import shutil
 
