@@ -801,6 +801,83 @@ FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 """
 
 
+def q_minhash_lsh_sql(spark, sf_dir):
+    """MinHash+LSH near-dup flagging in a DIALECT-PORTABLE form with a
+    full DuckDB value-hash oracle: the per-permutation hash is the
+    lexicographic MIN of md5(perm || ':' || shingle) hex strings (a
+    random permutation via hash ordering — no numeric conversion, so
+    Spark and DuckDB agree byte-for-byte), 16 perms × 4 bands of 4,
+    char-5-gram shingles, bucket rep = min doc_id.
+
+    The production near-dup path is the fused xxhash Arrow UDF
+    (operators/neardup.py, bit-exact vs the Python oracle in pytest);
+    this catalog entry exists so the LSH shape itself — shingle →
+    signature → band → bucket-join → flag — is verified end-to-end by
+    an independent engine. Bounded to doc_id < 200 (the 16× perm
+    explode is the demo cost; the fused UDF form is the scale path)."""
+    P, R, B, K = 16, 4, 4, 5
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(
+            f"CASE WHEN length(text) >= {K} THEN "
+            f"transform(sequence(1, length(text)-{K-1}), "
+            f"i -> substring(lower(text), i, {K})) "
+            f"ELSE cast(array() AS array<string>) END"
+        ))).alias("sh"),
+    )
+    perms = sh.select(
+        "doc_id", "sh", F.explode(F.sequence(F.lit(0), F.lit(P - 1))).alias("p")
+    )
+    minh = perms.groupBy("doc_id", "p").agg(
+        F.min(F.md5(F.concat_ws(":", F.col("p"), F.col("sh")))).alias("mh")
+    )
+    sig = minh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("p", "mh"))).alias("s")
+    )
+    band_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)),
+        lambda b: F.md5(
+            F.array_join(
+                F.transform(F.slice(F.col("s"), b * R + 1, R), lambda x: x["mh"]),
+                ",",
+            )
+        ),
+    )
+    bands = sig.select("doc_id", F.explode(band_expr).alias("band_hash"))
+    buckets = (
+        bands.groupBy("band_hash")
+        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    cands = (
+        bands.join(buckets, "band_hash")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("near_dup_of"))
+    )
+    return d.select("doc_id").join(cands, "doc_id", "left")
+
+
+SQL_MINHASH_LSH = """
+WITH dd AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 200),
+sh AS (SELECT DISTINCT doc_id, substring(t, CAST(i AS INT), 5) AS sh
+       FROM dd, unnest(range(1, greatest(length(t) - 4, 0) + 1)) AS u(i)),
+mh AS (SELECT doc_id, p, min(md5(CAST(p AS VARCHAR) || ':' || sh)) AS mh
+       FROM sh, unnest(range(0, 16)) AS pp(p) GROUP BY doc_id, p),
+sig AS (SELECT doc_id, list(mh ORDER BY p) AS s FROM mh GROUP BY doc_id),
+bands AS (SELECT doc_id,
+                 md5(array_to_string(s[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], ',')) AS band_hash
+          FROM sig, unnest(range(0, 4)) AS bb(b)),
+buckets AS (SELECT band_hash, min(doc_id) AS rep
+            FROM bands GROUP BY band_hash HAVING count(*) > 1),
+cands AS (SELECT doc_id, min(rep) AS near_dup_of
+          FROM bands JOIN buckets USING (band_hash)
+          WHERE doc_id != rep GROUP BY doc_id)
+SELECT dd.doc_id, c.near_dup_of FROM dd LEFT JOIN cands c USING (doc_id)
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-k over the embedding column: for each
     query vector (vec_id < 5), the 5 nearest neighbors by cosine.
@@ -1184,6 +1261,7 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "minhash_lsh_sql": (q_minhash_lsh_sql, SQL_MINHASH_LSH),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_ANN_TOPK),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),

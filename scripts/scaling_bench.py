@@ -34,9 +34,10 @@ LEVELS = (
 PAIRS = [(n, 4 * n) for n in LEVELS if 4 * n in LEVELS]
 CORPUS = Path(f"/tmp/bmpp_scale_corpus_{ROWS}")
 REPS = 2
-# measured by scripts/host_ceiling.py on this VM (quiet box, best-of-2):
-# what a perfectly parallel shared-nothing numpy workload achieves
-CEILING = {"1->4": 0.975, "2->8": 0.895}
+# measured by scripts/host_ceiling.py on this VM (quiet box, best-of-2,
+# 2026-08-16): what a perfectly parallel shared-nothing numpy workload
+# achieves — walls {1: 32.4, 2: 16.5, 4: 8.4, 8: 5.3}s
+CEILING = {"1->4": 0.966, "2->8": 0.776}
 
 
 def ensure_corpus() -> None:
