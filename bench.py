@@ -37,7 +37,15 @@ def main() -> None:
     # RAM-backed local dirs for shuffle/persist blocks: the sandbox has
     # one physical disk, which otherwise serializes block IO (a real
     # cluster has per-executor local disks)
-    extra = {}
+    extra = {
+        # small-scale task granularity: sf0.1 inputs are a few MB per
+        # file, which default 128 MB splits pack into a handful of scan
+        # partitions — a ragged final wave then idles most of the 32
+        # cores. 8 MB splits restore ≥4 waves/core; at production scale
+        # the 128 MB default is correct (see scripts/scaling_bench.py).
+        "spark.sql.files.maxPartitionBytes": "8m",
+        "spark.sql.files.openCostInBytes": "524288",
+    }
     if os.path.isdir("/dev/shm"):
         extra["spark.local.dir"] = "/dev/shm/bmpp_bench"
     spark = get_spark(app="bmpp-bench", cores=cores, extra=extra)

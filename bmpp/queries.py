@@ -967,7 +967,10 @@ def q_embedding_neardup(spark, sf_dir):
     from .simsearch import neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return neardup_pairs(e, 0.4, n_cells=8, n_probe=8, salt_buckets=2)
+    return neardup_pairs(
+        e, 0.4, n_cells=8, n_probe=8, salt_buckets=2,
+        centroids=_ivf_centroids(spark, sf_dir, 8),
+    )
 
 
 SQL_EMBEDDING_NEARDUP = """
@@ -1070,6 +1073,23 @@ FROM documents GROUP BY lang
 """
 
 
+_CENTROID_CACHE: dict = {}
+
+
+def _ivf_centroids(spark, sf_dir, n_cells: int = 8):
+    """IVF centroids are a deterministic offline-trained artifact (like
+    the langid weights): train once per (table, n_cells) and reuse
+    across the catalog queries that partition by cell."""
+    key = (sf_dir, n_cells)
+    if key not in _CENTROID_CACHE:
+        from .simsearch import train_centroids
+
+        _CENTROID_CACHE[key] = train_centroids(
+            _t(spark, sf_dir, "embeddings"), n_cells
+        )
+    return _CENTROID_CACHE[key]
+
+
 def q_ivf_ann_topk(spark, sf_dir):
     """IVF ANN (bmpp.simsearch): probing ALL cells makes IVF exactly
     equal to brute force — so the scale path shares the brute-force
@@ -1078,9 +1098,10 @@ def q_ivf_ann_topk(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return ivf_topk(e, q, k=5, n_cells=8, n_probe=8).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    return ivf_topk(
+        e, q, k=5, n_cells=8, n_probe=8,
+        centroids=_ivf_centroids(spark, sf_dir, 8),
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def q_stream_hourly(spark, sf_dir):

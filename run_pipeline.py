@@ -40,6 +40,10 @@ def main(argv=None) -> int:
     p.add_argument("--no-score", action="store_true")
     p.add_argument("--no-scrub", action="store_true")
     p.add_argument("--remove-duplicates", action="store_true")
+    p.add_argument("--split", action="store_true",
+                   help="record-splitter stage (doSplitNCigarReads "
+                   "analog): one output row per line-block chunk")
+    p.add_argument("--split-max-lines", type=int, default=None)
     p.add_argument(
         "--keep-predicate", action="append", default=[], metavar="SQL_EXPR",
         help="extra keep predicate (repeatable) over the heuristic "
@@ -89,6 +93,10 @@ def main(argv=None) -> int:
         overrides["do_scrub"] = False
     if args.remove_duplicates:
         overrides["remove_duplicates"] = True
+    if args.split:
+        overrides["do_split"] = True
+    if args.split_max_lines is not None:
+        overrides["split_max_lines"] = args.split_max_lines
     if args.keep_predicate:
         overrides["extra_keep_predicates"] = tuple(args.keep_predicate)
     if args.scrub_pattern:
