@@ -66,6 +66,25 @@ def test_frame_sample_plan(spark):
     ]
 
 
+def test_frame_sample_plan_survives_corrupt_blob(spark):
+    """A truncated video (< 16 bytes → 0 frames) must yield zero rows,
+    not an IllegalArgumentException from F.sequence — corrupt blobs
+    can't be allowed to kill a 10^12-asset job."""
+    from bmpp.multimodal import frame_sample_plan
+
+    rows = [
+        {"asset_id": 1, "kind": "video", "media": b"xy",
+         "meta": {"width": 0, "height": 0, "codec": "fake"}},
+        {"asset_id": 2, "kind": "video", "media": b"",
+         "meta": {"width": 0, "height": 0, "codec": "fake"}},
+        {"asset_id": 3, "kind": "video", "media": b"z" * 32,
+         "meta": {"width": 0, "height": 0, "codec": "fake"}},
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = frame_sample_plan(df, every_n=1).collect()
+    assert [(r["asset_id"], r["frame_idx"]) for r in out] == [(3, 0), (3, 1)]
+
+
 def test_extract_features_deterministic(spark, assets_df):
     a = {r["asset_id"]: r["feature_hash"]
          for r in extract_image_features(assets_df).collect()}
