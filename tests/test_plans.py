@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 
 from bmpp import corpus, rules
 from bmpp.pipeline import enrich
-from bmpp.queries import q_customers_per_region, q_dedup_exact
+from bmpp.queries import (
+    q_customers_per_region,
+    q_dedup_exact,
+    q_embedding_neardup,
+    q_minhash_lsh_sql,
+)
 
 SF = "/root/testdata/sf0.01"
 
@@ -80,6 +85,26 @@ def test_dedup_exact_has_no_window_on_hash(spark):
     assert "Window" not in plan
     # two-phase: the salted partial agg must be present
     assert "HashAggregate" in plan
+
+
+def test_embedding_neardup_is_cell_bucketed(spark):
+    """The pair-mining plan must be the distributed shape: grouped
+    applyInPandas over (cell, salt), never an all-pairs product — and
+    the only driver-side data is the bounded centroid sample (no
+    full-table collect exists in this plan; collect() would not appear
+    as a node, so assert the shape that replaces it)."""
+    plan = _plan(q_embedding_neardup(spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_lsh_sql_no_cartesian(spark):
+    """LSH candidate generation must stay a band-key equi-join — the
+    whole point is avoiding the all-pairs product."""
+    plan = _plan(q_minhash_lsh_sql(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_assemble_broadcasts_flags(spark, corpus_parquet):
