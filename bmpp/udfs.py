@@ -147,19 +147,3 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="int64")
 
 
-_SCRUB_SCHEMA = T.StructType(
-    [
-        T.StructField("content_scrubbed", T.StringType()),
-        T.StructField("scrub_count", T.IntegerType()),
-    ]
-)
-
-
-@F.pandas_udf(_SCRUB_SCHEMA)
-def scrub_udf(content: pd.Series) -> pd.DataFrame:
-    scrubbed, counts = [], []
-    for t in content:
-        s, n = rules.scrub(t if isinstance(t, str) else "")
-        scrubbed.append(s)
-        counts.append(n)
-    return pd.DataFrame({"content_scrubbed": scrubbed, "scrub_count": counts})
