@@ -173,6 +173,10 @@ class IcebergSnapshotIO:
     # ---- execution (requires the catalog) ----
 
     def exists(self, stage: str, config_hash: str, spark: SparkSession | None = None):
+        # Default to the active session so the duck type matches
+        # ParquetSnapshotIO and pipeline.run_resumable can call
+        # io.exists(stage, config_hash) polymorphically.
+        spark = spark or SparkSession.getActiveSession()
         if spark is None:
             raise RuntimeError("exists() needs an active SparkSession")
         self._require(spark)

@@ -50,10 +50,15 @@ def merge_into_sql(
     matched keys take the delta row, unmatched delta rows insert.
     Generated as text so the statement is unit-testable without a
     table-format jar (bmpp.io.IcebergSnapshotIO.merge consumes it)."""
-    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
-    sets = ", ".join(f"t.{c} = s.{c}" for c in value_cols)
-    cols = ", ".join(key_cols + value_cols)
-    svals = ", ".join(f"s.{c}" for c in key_cols + value_cols)
+    # Backtick-quote identifiers: this schema has a `commit` column,
+    # which is a keyword under ANSI mode / stricter engines.
+    def q(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
+    sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in value_cols)
+    cols = ", ".join(q(c) for c in key_cols + value_cols)
+    svals = ", ".join(f"s.{q(c)}" for c in key_cols + value_cols)
     return (
         f"MERGE INTO {target} t USING {source} s ON {on} "
         f"WHEN MATCHED THEN UPDATE SET {sets} "

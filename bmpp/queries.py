@@ -817,12 +817,16 @@ def q_minhash_lsh_sql(spark, sf_dir):
     explode is the demo cost; the fused UDF form is the scale path)."""
     P, R, B, K = 16, 4, 4, 5
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sh = d.select(
+    # Lower ONCE and derive both length and substring from the lowered
+    # column — the DuckDB oracle measures length(lower(text)), and a
+    # character whose lowercase expands (e.g. U+0130) would otherwise
+    # give a different shingle count on the Spark side.
+    sh = d.select("doc_id", F.lower("text").alias("lt")).select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(
-            f"CASE WHEN length(text) >= {K} THEN "
-            f"transform(sequence(1, length(text)-{K-1}), "
-            f"i -> substring(lower(text), i, {K})) "
+            f"CASE WHEN length(lt) >= {K} THEN "
+            f"transform(sequence(1, length(lt)-{K-1}), "
+            f"i -> substring(lt, i, {K})) "
             f"ELSE cast(array() AS array<string>) END"
         ))).alias("sh"),
     )
@@ -1031,18 +1035,34 @@ SELECT nationkey, 'customer_only' AS side FROM (
 """
 
 
+_ROUNDTRIP_DIR: list = []
+
+
+def _roundtrip_dir() -> str:
+    if not _ROUNDTRIP_DIR:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="bmpp_io_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _ROUNDTRIP_DIR.append(d)
+    return _ROUNDTRIP_DIR[0]
+
+
 def q_csv_json_roundtrip(spark, sf_dir):
     """Sources/sinks surface (read_tsv :235 / read_json :936 analog):
     documents → JSON lines + TSV sinks → read both back with explicit
     schemas → join and aggregate. The oracle aggregates the original
     table, so the round-trip must be lossless."""
-    import tempfile
     from pathlib import Path
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    # unique dir per invocation: a shared path keyed on sf name would
-    # collide across concurrent runs / go stale on regenerated testdata
-    base = Path(tempfile.mkdtemp(prefix="bmpp_io_"))
+    # one sink dir per PROCESS (unique → no cross-run collisions),
+    # reused across invocations (mode=overwrite → no /tmp accretion),
+    # removed at interpreter exit (the returned DataFrame reads the
+    # sinks lazily, so cleanup can't happen before the driver collects)
+    base = Path(_roundtrip_dir()) / Path(sf_dir).name
     jdir, tdir = str(base / "json"), str(base / "tsv")
     d.write.mode("overwrite").json(jdir)
     d.write.mode("overwrite").option("sep", "\t").option("header", "true").csv(tdir)

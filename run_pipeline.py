@@ -134,6 +134,16 @@ def main(argv=None) -> int:
     report = metrics.run_report(final)
     report["wall_sec"] = round(time.time() - t0, 2)
     report["config_hash"] = cfg.config_hash()
+    if args.sink == "parquet":
+        # durable run-report artifact (AnalyzeCovariates analog,
+        # bamMergePreprocessing.wdl:784-827 writes a recalibration
+        # report file; we persist the one-row JSON run report next to
+        # the metrics tables so the run is auditable without the logs)
+        from pathlib import Path
+
+        out = Path(args.output)
+        out.mkdir(parents=True, exist_ok=True)
+        (out / "run_report.json").write_text(json.dumps(report, sort_keys=True))
     print(json.dumps(report))
     return 0
 

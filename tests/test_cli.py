@@ -1,0 +1,40 @@
+"""spark-submit CLI surface (run_pipeline.main) — the Cromwell-run
+analog: one command writes the processed table, metrics tables, and a
+DURABLE run-report artifact (AnalyzeCovariates report analog,
+bamMergePreprocessing.wdl:784-827)."""
+
+from __future__ import annotations
+
+import json
+
+from bmpp import metrics
+from run_pipeline import main
+
+
+def test_cli_persists_run_report(spark, tmp_path):
+    out = tmp_path / "out"
+    rc = main(["--input", "synth:300", "--output", str(out)])
+    assert rc == 0
+
+    rpt_path = out / "run_report.json"
+    assert rpt_path.is_file(), "durable run report not written"
+    report = json.loads(rpt_path.read_text())
+    for key in ("rows", "kept", "dups", "near_dups", "scrubs", "bytes_in",
+                "wall_sec", "config_hash"):
+        assert key in report, key
+
+    # totals reconcile with the committed output table (not the logs)
+    final = spark.read.parquet(str(out / "code_files_processed"))
+    want = metrics.run_report(final)
+    got = {k: report[k] for k in want}
+    assert got == want
+    # and with the metrics_by_group side table
+    grp = spark.read.parquet(str(out / "metrics_by_group"))
+    assert grp.agg({"rows": "sum"}).collect()[0][0] == report["rows"]
+
+
+def test_cli_noop_sink_skips_report_file(tmp_path):
+    out = tmp_path / "noop_out"
+    rc = main(["--input", "synth:200", "--output", str(out), "--sink", "noop"])
+    assert rc == 0
+    assert not (out / "run_report.json").exists()

@@ -45,6 +45,14 @@ CASES = {
     ),
     # splitter on top of the full pipeline (Test8/9 analog)
     "split_full": rules.PipelineConfig(do_split=True, split_max_lines=20),
+    # negative space: removeDuplicates × splitter × user params — the
+    # R_DUP drop interacts with chunk inheritance AND custom predicates
+    # in the same run (each pairing was previously only covered alone)
+    "remove_dups_split_custom": rules.PipelineConfig(
+        remove_duplicates=True, do_split=True, split_max_lines=20,
+        extra_keep_predicates=("n_chars <= 1200",),
+        extra_scrub_patterns=(("(?i)\\bTODO\\b", "<TODO>"),),
+    ),
 }
 
 

@@ -36,18 +36,18 @@ def test_merge_sql_text(ice):
     got = ice.merge_sql("final", ["repo", "path"], ["commit", "content"])
     assert got == (
         "MERGE INTO lake.bmpp.final t USING bmpp_delta s "
-        "ON t.repo = s.repo AND t.path = s.path "
-        "WHEN MATCHED THEN UPDATE SET t.commit = s.commit, "
-        "t.content = s.content "
-        "WHEN NOT MATCHED THEN INSERT (repo, path, commit, content) "
-        "VALUES (s.repo, s.path, s.commit, s.content)"
+        "ON t.`repo` = s.`repo` AND t.`path` = s.`path` "
+        "WHEN MATCHED THEN UPDATE SET t.`commit` = s.`commit`, "
+        "t.`content` = s.`content` "
+        "WHEN NOT MATCHED THEN INSERT (`repo`, `path`, `commit`, `content`) "
+        "VALUES (s.`repo`, s.`path`, s.`commit`, s.`content`)"
     )
 
 
 def test_merge_into_sql_standalone():
     got = merge_into_sql("t1", "d1", ["k"], ["v"])
-    assert "MERGE INTO t1 t USING d1 s ON t.k = s.k" in got
-    assert "WHEN MATCHED THEN UPDATE SET t.v = s.v" in got
+    assert "MERGE INTO t1 t USING d1 s ON t.`k` = s.`k`" in got
+    assert "WHEN MATCHED THEN UPDATE SET t.`v` = s.`v`" in got
 
 
 def test_gating_without_catalog(spark, ice):
