@@ -15,10 +15,41 @@ layering.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .. import rules
+
+_CAP_SALT = 16  # phase-1 fan-out for the exact two-phase bucket cap
+
+
+def cap_bucket_members(
+    pairs: DataFrame, cap: int, bucket_col: str = "band_hash",
+    key_col: str = "doc_key",
+) -> DataFrame:
+    """Hot-group downsampling (reference ``--downsampling_type``,
+    bamMergePreprocessing.wdl:545,567,588): keep the ``cap`` members
+    with smallest (sha256(key), key) per bucket — a deterministic
+    hash-order sample the pure-Python oracle reproduces bit-exactly.
+
+    Exact global top-cap without a single-reducer window on a
+    pathological bucket: phase 1 ranks within (bucket, salt) — a hot
+    bucket fans over ``_CAP_SALT`` window groups — and keeps ``cap``
+    per group (a superset of the global top-cap); phase 2 ranks the
+    ≤ _CAP_SALT×cap survivors per bucket, which is trivially bounded."""
+    ordc = F.sha2(F.col(key_col), 256)
+    salt = F.pmod(F.xxhash64(key_col), F.lit(_CAP_SALT))
+    w1 = W.partitionBy(bucket_col, "_ds_salt").orderBy("_ord", key_col)
+    w2 = W.partitionBy(bucket_col).orderBy("_ord", key_col)
+    return (
+        pairs.withColumn("_ord", ordc)
+        .withColumn("_ds_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= cap)
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= cap)
+        .drop("_ord", "_ds_salt", "_rn")
+    )
 
 
 def near_flags(
@@ -35,6 +66,8 @@ def near_flags(
         .filter(F.col("minhash_bands").isNotNull())
         .select("doc_key", F.explode("minhash_bands").alias("band_hash"))
     )
+    if cfg.neardup_bucket_cap:
+        pairs = cap_bucket_members(pairs, cfg.neardup_bucket_cap)
     salt = F.pmod(F.xxhash64("doc_key"), F.lit(cfg.dedup_salt_buckets))
     partial = pairs.groupBy("band_hash", salt.alias("_salt")).agg(
         F.min("doc_key").alias("_cand"), F.count(F.lit(1)).alias("_cnt")

@@ -140,12 +140,30 @@ def process(rows: list[dict], cfg: rules.PipelineConfig | None = None) -> list[d
             sigs[o["doc_key"]] = bands
             for bh in bands:
                 buckets[bh].append(o["doc_key"])
+        # hot-bucket downsampling cap (--downsampling_type analog):
+        # survivors = cap smallest (sha256(key), key) per bucket — the
+        # same deterministic hash-order sample operators.neardup
+        # computes; pruned members are not flagged via that band
+        if cfg.neardup_bucket_cap:
+            import hashlib
+
+            cap = cfg.neardup_bucket_cap
+            buckets = {
+                bh: sorted(
+                    ks,
+                    key=lambda k: (hashlib.sha256(k.encode()).hexdigest(), k),
+                )[:cap]
+                for bh, ks in buckets.items()
+            }
+        members = {bh: set(ks) for bh, ks in buckets.items()}
         rep_of = {bh: min(ks) for bh, ks in buckets.items() if len(ks) > 1}
         for o in out:
             cands = [
                 rep_of[bh]
                 for bh in sigs.get(o["doc_key"], [])
-                if bh in rep_of and rep_of[bh] != o["doc_key"]
+                if bh in rep_of
+                and o["doc_key"] in members[bh]
+                and rep_of[bh] != o["doc_key"]
             ]
             o["near_dup_of"] = min(cands) if cands else None
             if o["near_dup_of"] is not None and cfg.remove_duplicates:

@@ -192,6 +192,14 @@ class PipelineConfig:
     minhash_perms: int = 64
     lsh_bands: int = 8               # 8 bands × 8 rows
     shingle_k: int = 5               # char-shingle width (words for code)
+    # hot-bucket downsampling cap (reference --downsampling_type,
+    # bamMergePreprocessing.wdl:545,567,588 — the safety valve for
+    # degenerate groups): when set, each LSH band bucket considers at
+    # most this many members, chosen deterministically by hash order
+    # (smallest (sha256(doc_key), doc_key) survive). Off by default;
+    # when the cap binds, pruned members are simply not flagged via
+    # that band — same results-change semantics as GATK downsampling.
+    neardup_bucket_cap: int | None = None
     # --- user-composable escape hatches (additionalParams analog:
     # every reference task takes free-form extra params / composable
     # --read-filter lists, wdl:277,283,291,331,407) ---

@@ -119,11 +119,42 @@ def assign_cells(
     return emb.withColumn("cell", cell_of(F.col(vec_col)))
 
 
+def _probe_cells_udf(C: np.ndarray, n_probe: int):
+    """Arrow-batched nearest-``n_probe``-cells assignment (closure over
+    the small centroid matrix): cells ordered by similarity desc with a
+    deterministic cell-id tie-break (lexsort on (-sim, id))."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C.T
+        order = np.lexsort((np.arange(sims.shape[1])[None, :].repeat(len(M), 0),
+                            -sims), axis=1)[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    return probe_cells
+
+
+def _cap_members(pdf: pd.DataFrame, cap: int) -> pd.DataFrame:
+    """Deterministic hash-order downsample of one side of a cell group
+    (reference --downsampling_type analog): keep the ``cap`` rows with
+    smallest (splitmix-style hash(pid), pid) — invariant to partition
+    order, no RNG."""
+    if len(pdf) <= cap:
+        return pdf
+    pid = pdf["pid"].to_numpy().astype(np.uint64)
+    h = pid * np.uint64(0x9E3779B97F4A7C15)  # odd-constant bijection
+    keep = np.lexsort((pid, h))[:cap]
+    return pdf.iloc[np.sort(keep)]
+
+
 def neardup_pairs(
     emb: DataFrame, threshold: float,
     n_cells: int = 8, n_probe: int = 8, salt_buckets: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    max_group_size: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold, mined WITHOUT any full-table
     driver collect: IVF-cell-bucketed block matmul.
@@ -144,6 +175,13 @@ def neardup_pairs(
     ONE (probe × home) matmul per 2048-row chunk bounds temporaries.
     Output is canonical (min, max) pairs, deduped by an output-
     proportional distinct().
+
+    ``max_group_size`` is the hot-group downsampling cap (reference
+    --downsampling_type, bamMergePreprocessing.wdl:545,567,588): each
+    side of a (cell, salt) group is capped to that many rows by a
+    deterministic hash-order sample before the matmul, bounding the
+    quadratic work on degenerate inputs (e.g. one vector repeated 10^6
+    times landing in one cell). Off by default — results are exact.
     """
     C = (
         centroids
@@ -151,18 +189,7 @@ def neardup_pairs(
         else train_centroids(emb, n_cells, vec_col=vec_col, id_col=id_col)
     )
     n_probe = min(n_probe, len(C))
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        M = np.array(vecs.tolist(), dtype=np.float64)
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        sims = M @ C.T
-        # top-n_probe cells, similarity desc, deterministic tie-break
-        # by cell id (lexsort on (-sim, id))
-        order = np.lexsort((np.arange(sims.shape[1])[None, :].repeat(len(M), 0),
-                            -sims), axis=1)[:, :n_probe]
-        return pd.Series(list(order.astype("int32")))
-
+    probe_cells = _probe_cells_udf(C, n_probe)
     celled = emb.select(
         F.col(id_col).alias("pid"), _as_double(vec_col).alias("v")
     ).withColumn("cells", probe_cells(F.col("v")))
@@ -182,9 +209,13 @@ def neardup_pairs(
     both = home.unionByName(probe)
     thr = float(threshold)
 
+    cap = max_group_size
+
     def mine(pdf: pd.DataFrame) -> pd.DataFrame:
         h = pdf[pdf["is_home"]]
         p = pdf[~pdf["is_home"]]
+        if cap:
+            h, p = _cap_members(h, cap), _cap_members(p, cap)
         if h.empty or p.empty:
             return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                                  "vec_b": pd.Series(dtype="int64")})
@@ -217,35 +248,32 @@ def ivf_topk(
     n_cells: int = 16, n_probe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF ANN: probe the n_probe nearest cells per query, exact rerank
-    inside them. Returns (query_id, neighbor_id, rank, cos)."""
-    spark = emb.sparkSession
+    inside them. Returns (query_id, neighbor_id, rank, cos).
+
+    The probed-cell assignment runs as the same distributed Arrow pass
+    as the data side (no driver collect — the query table can be any
+    size). ``broadcast_queries`` pins the small-query-side plan (one
+    broadcast of (query_id, qv, cell) rows, data side never shuffles
+    before the rank); set False for a huge query table so the cell
+    join shuffles both sides on the unskewed cell key instead."""
     C = centroids if centroids is not None else train_centroids(emb, n_cells, vec_col=vec_col)
+    n_probe = min(n_probe, len(C))
     celled = assign_cells(emb, C, id_col, vec_col)
 
-    # query → probed cells (queries are few; computed driver-side like
-    # the broadcast of a learned table)
-    qrows = queries.select(id_col, vec_col).collect()
-    probe_rows = []
-    for r in qrows:
-        qv = np.array(r[vec_col], dtype=np.float64)
-        qv /= max(np.linalg.norm(qv), 1e-12)
-        order = np.argsort(-(C @ qv))[: n_probe]
-        for cell in order:
-            probe_rows.append((int(r[id_col]), int(cell)))
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
-    q = queries.select(
+    probes = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    )
+    ).withColumn("cell", F.explode(_probe_cells_udf(C, n_probe)(F.col("qv"))))
+    side = F.broadcast(probes) if broadcast_queries else probes
 
     cands = (
         celled.select(
             F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v"), "cell"
         )
-        .join(F.broadcast(probes), "cell")
+        .join(side, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(q), "query_id")
         .select("query_id", "neighbor_id", _cosine_col("v", "qv").alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))

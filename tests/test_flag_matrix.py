@@ -53,6 +53,11 @@ CASES = {
         extra_keep_predicates=("n_chars <= 1200",),
         extra_scrub_patterns=(("(?i)\\bTODO\\b", "<TODO>"),),
     ),
+    # hot-bucket downsampling (--downsampling_type analog, wdl:545):
+    # cap small enough that the planted mega near-dup group trips it —
+    # engine and oracle must agree on the hash-order sample bit-exactly
+    # (cap=2 BINDS on this corpus — proven by test_neardup_cap.py)
+    "downsample_cap": rules.PipelineConfig(neardup_bucket_cap=2),
 }
 
 

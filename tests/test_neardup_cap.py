@@ -1,0 +1,62 @@
+"""Hot-bucket downsampling cap (reference --downsampling_type,
+bamMergePreprocessing.wdl:545,567,588): deterministic hash-order
+sample per LSH band bucket, shared bit-exactly by engine and oracle.
+The oracle-equality run is tests/test_flag_matrix.py::downsample_cap;
+here we prove the cap actually BINDS on the planted corpus (so that
+lattice case is not vacuous) and pin the sample semantics."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from bmpp import corpus, oracle, rules
+from bmpp.operators.neardup import cap_bucket_members
+
+
+def test_cap_binds_on_planted_corpus():
+    """cap=2 must change near-dup flags vs uncapped — otherwise the
+    flag-matrix downsample_cap case proves nothing."""
+    rows = corpus.gen_rows(400)
+    a = {o["doc_key"]: o["near_dup_of"]
+         for o in oracle.process(rows, rules.PipelineConfig())}
+    b = {o["doc_key"]: o["near_dup_of"]
+         for o in oracle.process(
+             rows, rules.PipelineConfig(neardup_bucket_cap=2))}
+    assert a != b, "cap=2 did not bind on the planted corpus"
+    # capping can only remove/repoint flags, never invent new ones
+    flagged_a = {k for k, v in a.items() if v is not None}
+    flagged_b = {k for k, v in b.items() if v is not None}
+    assert flagged_b <= flagged_a
+
+
+def test_cap_bucket_members_exact_top_cap(spark):
+    """The salted two-phase prune must equal the global top-cap by
+    (sha256(key), key) per bucket — exact, not approximate."""
+    rows = [(f"k{i:03d}", bh) for bh in (1, 2) for i in range(50)]
+    rows += [("solo", 3)]
+    df = spark.createDataFrame(rows, "doc_key string, band_hash long")
+    got = {
+        (r["band_hash"], r["doc_key"])
+        for r in cap_bucket_members(df, cap=7).collect()
+    }
+    want = set()
+    for bh in (1, 2):
+        keys = sorted(
+            (f"k{i:03d}" for i in range(50)),
+            key=lambda k: (hashlib.sha256(k.encode()).hexdigest(), k),
+        )[:7]
+        want |= {(bh, k) for k in keys}
+    want.add((3, "solo"))  # under-cap buckets pass through untouched
+    assert got == want
+
+
+def test_cap_off_plan_has_no_window(spark):
+    """Default config (cap unset) must not pay the window: the capped
+    path is opt-in, the uncapped near-dup plan shape is unchanged."""
+    from bmpp.pipeline import build_plan
+
+    src = corpus.corpus_df(spark, 120, partitions=4).drop("plant")
+    plan = build_plan(src, rules.PipelineConfig())._jdf.queryExecution().toString()
+    assert "Window" not in plan

@@ -99,3 +99,58 @@ def test_centroids_deterministic(emb):
     a = train_centroids(emb, 16)
     b = train_centroids(emb, 16)
     assert np.array_equal(a, b)
+
+
+def test_ivf_large_query_side_no_broadcast(emb, queries, exact):
+    """broadcast_queries=False routes the cell join through a shuffle
+    (for huge query tables); results identical to the broadcast plan —
+    and the probe assignment is distributed either way (no driver
+    collect of the query table exists in ivf_topk anymore)."""
+    got = {}
+    for r in ivf_topk(
+        emb, queries, k=K, n_cells=8, n_probe=8, broadcast_queries=False
+    ).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert got == exact
+
+
+@pytest.fixture(scope="module")
+def pathological(spark):
+    """Degenerate input: ONE vector repeated 60× (plus a few distinct
+    rows) — every copy lands in the same IVF cell and pairs with every
+    other copy: the quadratic hot-group case the cap must bound."""
+    import numpy as np
+
+    base = list(np.linspace(0.1, 1.0, 16))
+    rows = [(i, [float(x) for x in base]) for i in range(60)]
+    # orthogonal one-hots: pairwise cos 0, cos vs base < 0.99
+    rows += [(100 + i, [1.0 if j == i else 0.0 for j in range(16)])
+             for i in range(8)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_neardup_cap_bounds_hot_group(pathological):
+    uncapped = neardup_pairs(pathological, 0.99, n_cells=2, n_probe=2).collect()
+    assert len(uncapped) == 60 * 59 // 2  # full quadratic pair set
+    capped = neardup_pairs(
+        pathological, 0.99, n_cells=2, n_probe=2, max_group_size=10
+    ).collect()
+    # each side of the (cell, salt) group is ≤ 10 rows → ≤ 45 pairs
+    assert 0 < len(capped) <= 45
+    # deterministic: same cap → same sample → same pairs
+    again = neardup_pairs(
+        pathological, 0.99, n_cells=2, n_probe=2, max_group_size=10
+    ).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, again))
+
+
+def test_neardup_cap_off_is_exact(emb, exact_pairs):
+    """With the cap unset (default), results are unchanged — the knob
+    is pure negative space until a degenerate group trips it."""
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in neardup_pairs(
+            emb, 0.4, n_cells=8, n_probe=8, max_group_size=None
+        ).collect()
+    }
+    assert got == exact_pairs
