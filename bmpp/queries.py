@@ -1255,6 +1255,108 @@ def _simhash_bits_py(texts):
 _simhash_bits_udf = None  # built lazily in q_simhash (needs a session)
 
 
+def simhash_hamming_flags(d, max_hamming: int = 3):
+    """SimHash near-dup flagging via hamming-chunk LSH (Charikar 2002 /
+    Manku et al. 2007 pigeonhole trick): split the 64-bit fingerprint
+    into 4 chunks of 16 bits — any pair at hamming ≤ 3 must agree
+    EXACTLY on at least one chunk — bucket-join on (chunk_idx, chunk),
+    then VERIFY the candidate's true hamming distance (chunk collision
+    is necessary, not sufficient) and flag each doc against its
+    smallest verified lower-id neighbor (the min-rep shape of
+    q_minhash_lsh_sql).
+
+    Scale: the join key is a 16-bit chunk value — candidate volume is
+    collision-proportional, never all-pairs; hamming verification is
+    JVM-side (conv → xor → bit_count on two 32-bit halves, no UDF).
+    Degenerate all-zero fingerprints (docs shorter than one gram)
+    never enter candidate generation. On corpora where one chunk value
+    degenerates (e.g. mass-templated docs), apply
+    operators.neardup.cap_bucket_members to ``chunks`` first."""
+    global _simhash_bits_udf
+    if _simhash_bits_udf is None:
+        _simhash_bits_udf = F.pandas_udf(_simhash_bits_py, "string")
+    bits = d.select("doc_id", _simhash_bits_udf(F.col("text")).alias("b"))
+    chunks = (
+        bits.filter(F.col("b") != F.lit("0" * 64))
+        .select(
+            "doc_id", "b",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
+        )
+        .select(
+            "doc_id", "b", "c",
+            F.expr("substring(b, c * 16 + 1, 16)").alias("chunk"),
+        )
+    )
+    a = chunks.select("c", "chunk", F.col("doc_id").alias("da"), F.col("b").alias("ba"))
+    bb = chunks.select("c", "chunk", F.col("doc_id").alias("db"), F.col("b").alias("bb"))
+    cand = (
+        a.join(bb, ["c", "chunk"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "ba", "bb")
+        .distinct()
+    )
+    ham = sum(
+        F.expr(
+            f"bit_count(cast(conv(substring(ba, {o}, 32), 2, 10) AS bigint) ^ "
+            f"cast(conv(substring(bb, {o}, 32), 2, 10) AS bigint))"
+        )
+        for o in (1, 33)
+    )
+    near = (
+        cand.filter(ham <= max_hamming)
+        .groupBy(F.col("db").alias("doc_id"))
+        .agg(F.min("da").alias("near_dup_of"))
+    )
+    return d.select("doc_id").join(near, "doc_id", "left")
+
+
+def q_simhash_hamming(spark, sf_dir):
+    """End-to-end SimHash dedup path over documents: fingerprint →
+    hamming-chunk LSH → verified hamming ≤ 3 flags. Full DuckDB oracle
+    (the md5-vote fingerprint spec is dialect-portable; DuckDB verifies
+    distance with its hamming() text function)."""
+    return simhash_hamming_flags(_t(spark, sf_dir, "documents"))
+
+
+_SIMHASH_BITS_CTE = """
+WITH sh AS (
+  SELECT doc_id, md5(substring(lower(text), CAST(i AS INT), 4)) AS h
+  FROM documents, unnest(range(1, greatest(length(text) - 3, 0) + 1)) AS t(i)
+),
+bits AS (
+  SELECT doc_id,
+         (d - 1) * 4 + k AS bit_idx,
+         ((strpos('0123456789abcdef', substring(h, CAST(d AS INT), 1)) - 1) >> k) & 1 AS bit
+  FROM sh, unnest(range(1, 17)) AS dd(d), unnest(range(0, 4)) AS kk(k)
+),
+votes AS (
+  SELECT doc_id, bit_idx, CAST(sum(bit) AS BIGINT) AS s, count(*) AS ns
+  FROM bits GROUP BY doc_id, bit_idx
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN 2 * s > ns THEN '1' ELSE '0' END, ''
+                    ORDER BY bit_idx) AS simhash_bits
+  FROM votes GROUP BY doc_id
+)
+"""
+
+SQL_SIMHASH_HAMMING = _SIMHASH_BITS_CTE + """,
+fp AS (SELECT doc_id, simhash_bits AS b FROM agg
+       WHERE simhash_bits != repeat('0', 64)),
+chunks AS (SELECT doc_id, b, c,
+                  substring(b, CAST(c * 16 + 1 AS INT), 16) AS chunk
+           FROM fp, unnest(range(0, 4)) AS cc(c)),
+cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+                         x.b AS ba, y.b AS bb
+         FROM chunks x JOIN chunks y
+           ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id),
+near AS (SELECT db AS doc_id, min(da) AS near_dup_of
+         FROM cand WHERE hamming(ba, bb) <= 3 GROUP BY db)
+SELECT d.doc_id, n.near_dup_of FROM documents d LEFT JOIN near n USING (doc_id)
+"""
+
+
 SQL_SIMHASH = """
 WITH sh AS (
   SELECT doc_id, md5(substring(lower(text), CAST(i AS INT), 4)) AS h
@@ -1332,5 +1434,6 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "minhash_neardup": (q_minhash_neardup, None),
     "langid_score": (q_langid, None),
     "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_hamming": (q_simhash_hamming, SQL_SIMHASH_HAMMING),
     "multimodal_features": (q_multimodal_features, None),
 }

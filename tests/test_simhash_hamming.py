@@ -1,0 +1,65 @@
+"""SimHash hamming-chunk LSH dedup path (queries.simhash_hamming_flags):
+the fingerprint column becomes an end-to-end near-dup operator. DuckDB
+value-hash equality runs via the driver contract; here we assert the
+semantic guarantees on planted inputs."""
+
+from __future__ import annotations
+
+from bmpp.queries import simhash_hamming_flags
+
+BASE = (
+    "def compute_totals(rows, key):\n"
+    "    totals = {}\n"
+    "    for row in rows:\n"
+    "        totals[row[key]] = totals.get(row[key], 0) + row['amount']\n"
+    "    return totals\n"
+) * 6
+
+
+def _flags(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r["doc_id"]: r["near_dup_of"]
+        for r in simhash_hamming_flags(df).collect()
+    }
+
+
+def test_planted_near_identical_pair_recalled(spark):
+    """A one-character edit of a long document keeps hamming ≤ 3 —
+    the planted pair must be flagged against the lower doc_id."""
+    docs = [
+        (1, BASE),
+        (2, BASE.replace("amount", "amounts", 1)),  # near-identical
+        (3, "import os\nprint(os.environ)\n"),       # unrelated
+        (4, "SELECT a, b FROM t WHERE x > 0 ORDER BY a\n" * 8),
+    ]
+    got = _flags(spark, docs)
+    assert got[2] == 1, f"planted near-pair not recalled: {got}"
+    assert got[1] is None  # cluster rep stays unflagged
+    assert got[3] is None and got[4] is None
+
+
+def test_distant_docs_not_flagged_even_on_chunk_collision(spark):
+    """Verification step: two short all-different docs must not be
+    flagged even though both carry fingerprints (candidate generation
+    alone is not a match)."""
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "zx81 spectrum amiga atari c64 msx vic20"),
+    ]
+    got = _flags(spark, docs)
+    assert got == {1: None, 2: None}
+
+
+def test_degenerate_short_docs_excluded(spark):
+    """Docs shorter than one 4-gram hash to the all-zero fingerprint;
+    they must never pair with each other (hamming 0) nor anything else."""
+    docs = [(1, "ab"), (2, "x"), (3, ""), (4, BASE)]
+    got = _flags(spark, docs)
+    assert got == {1: None, 2: None, 3: None, 4: None}
+
+
+def test_exact_duplicates_flag_at_hamming_zero(spark):
+    docs = [(7, BASE), (9, BASE)]
+    got = _flags(spark, docs)
+    assert got == {7: None, 9: 7}
