@@ -114,28 +114,65 @@ DEDUP_STREAM_SCHEMA = (
 def _group_dedup_stream(
     spark: SparkSession, input_dir: str, schema,
     max_state_hashes: int | None, state_ttl_ms: int | None,
+    event_time_col: str | None = None,
+    event_ttl_ms: int | None = None,
+    watermark_delay: str = "1 second",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Shared plan for the stateful dedup-metrics stream (docs on
-    ``stream_group_dedup_counts`` / ``start_group_dedup_stream``)."""
+    ``stream_group_dedup_counts`` / ``start_group_dedup_stream`` /
+    ``stream_group_dedup_event_ttl``).
+
+    TTL modes (mutually exclusive):
+    - ``state_ttl_ms`` → ProcessingTimeTimeout (wall-clock idleness;
+      only meaningful on a continuously running query);
+    - ``event_time_col`` + ``event_ttl_ms`` → EventTimeTimeout: state
+      expires when the WATERMARK passes (last event time seen by the
+      group + ttl) — expiry follows data time like the rest of the
+      streaming surface, and fires deterministically under a
+      drain-to-completion trigger (watermarks only advance with data).
+
+    Expiry is OBSERVABLE: a timed-out group emits one tombstone row
+    (all counters 0) before its state is dropped, so tests/monitors
+    can see expiry instead of inferring it from silence."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    src = with_keys(spark.readStream.schema(schema).parquet(input_dir))
-    slim = src.select("repo", "content_sha256")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = with_keys(reader.parquet(input_dir))
+    cols = ["repo", "content_sha256"]
+    if event_ttl_ms:
+        src = src.withColumn(
+            "_et", F.col(event_time_col).cast("timestamp")
+        ).withWatermark("_et", watermark_delay)
+        cols.append("_et")
+        timeout = GroupStateTimeout.EventTimeTimeout
+    elif state_ttl_ms:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
+    slim = src.select(*cols)
     state_schema = "hashes array<string>, rows long, dups long"
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if state_ttl_ms
-        else GroupStateTimeout.NoTimeout
-    )
 
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
-            state.remove()  # idle group: drop state wholesale
+            state.remove()  # expired group: drop state wholesale
+            yield pd.DataFrame(
+                {
+                    "repo": [key[0]],
+                    "rows_total": [0],
+                    "distinct_total": [0],
+                    "dups_total": [0],
+                    "state_size": [0],
+                }
+            )
             return
         order, rows, dups = state.get if state.exists else ([], 0, 0)
         order = list(order)  # insertion-ordered → deterministic eviction
         seen = set(order)
+        max_et_ms = 0
         for pdf in pdfs:
             for h in pdf["content_sha256"]:
                 rows += 1
@@ -146,8 +183,17 @@ def _group_dedup_stream(
                     order.append(h)
                     if max_state_hashes and len(order) > max_state_hashes:
                         seen.discard(order.pop(0))
+            if event_ttl_ms and len(pdf):
+                m = pdf["_et"].max()
+                max_et_ms = max(max_et_ms, int(pd.Timestamp(m).value // 1_000_000))
         state.update((order, rows, dups))
-        if state_ttl_ms:
+        if event_ttl_ms:
+            # expire when the watermark passes (last event time + ttl);
+            # must stay strictly above the current watermark
+            state.setTimeoutTimestamp(
+                max(max_et_ms + event_ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        elif state_ttl_ms:
             state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             {
@@ -215,6 +261,34 @@ def start_group_dedup_stream(
         .trigger(processingTime=f"{trigger_ms} milliseconds")
         .start()
     )
+
+
+def stream_group_dedup_event_ttl(
+    spark: SparkSession, input_dir: str, schema,
+    event_time_col: str, event_ttl_ms: int,
+    watermark_delay: str = "1 second",
+    max_files_per_trigger: int | None = 1,
+    max_state_hashes: int | None = None,
+) -> DataFrame:
+    """Event-time-TTL form of the dedup-metrics stream: a group whose
+    last event time falls ``event_ttl_ms`` behind the WATERMARK is
+    dropped (EventTimeTimeout — the keyed-state analog of the windowed
+    agg's watermark, so expiry follows data time, not wall clock).
+    Expired groups emit an all-zero tombstone row.
+
+    Unlike the processing-time form, this drains synchronously:
+    event-time timeouts fire as arriving data advances the watermark,
+    so processAllAvailable() settles. ``max_files_per_trigger=1``
+    keeps each file a separate micro-batch — watermarks advance
+    BETWEEN batches, so one-batch-per-file makes expiry deterministic
+    for file-staged waves."""
+    plan = _group_dedup_stream(
+        spark, input_dir, schema, max_state_hashes, None,
+        event_time_col=event_time_col, event_ttl_ms=event_ttl_ms,
+        watermark_delay=watermark_delay,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    return _run_to_memory(plan, "update")
 
 
 def stream_hourly_counts(spark: SparkSession, events_dir: str) -> DataFrame:

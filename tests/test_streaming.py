@@ -116,9 +116,10 @@ def test_stream_stateful_dedup_state_is_bounded(spark, corpus_dir):
 
 def test_stream_stateful_dedup_ttl_expiry(spark, tmp_path_factory):
     """TTL expiry scenario: wave 1 → idle past the TTL (state dropped
-    via ProcessingTimeTimeout) → identical wave 2. If state survived,
-    counters would continue (rows_total = 2N, all wave-2 rows dups);
-    after expiry the group restarts (rows_total = N again)."""
+    via ProcessingTimeTimeout) → identical wave 2. Expiry is OBSERVED,
+    not assumed: a timed-out group emits an all-zero tombstone row, so
+    the test polls for the tombstone before sending wave 2 (no fixed
+    sleep — robust to this host's ±30-50% wall-clock noise)."""
     import shutil
     import time
 
@@ -144,7 +145,7 @@ def test_stream_stateful_dedup_ttl_expiry(spark, tmp_path_factory):
     def _rows():
         return spark.table("bmpp_ttl_sink").collect()
 
-    def _wait(pred, timeout_s=60):
+    def _wait(pred, timeout_s=120):
         t0 = time.time()
         while time.time() - t0 < timeout_s:
             if pred(_rows()):
@@ -164,17 +165,89 @@ def test_stream_stateful_dedup_ttl_expiry(spark, tmp_path_factory):
                 r["repo"] == repo and r["rows_total"] == n for r in rows
             )
         ), "wave 1 never fully processed"
-        time.sleep(8)  # 4× TTL: idle groups must time out and drop
-        n_before = len(_rows())
+        # poll for the expiry tombstone (observable state drop)
+        assert _wait(
+            lambda rows: any(
+                r["repo"] == repo and r["rows_total"] == 0
+                and r["state_size"] == 0
+                for r in rows
+            )
+        ), "TTL tombstone never emitted — state did not expire"
         shutil.copy(parts[0], stream_dir / "wave2.parquet")
-        assert _wait(lambda rows: len(rows) > n_before), "wave 2 not processed"
-        final = [r for r in _rows() if r["repo"] == repo][-1]
-        assert final["rows_total"] == n, (
-            f"state survived the TTL: rows_total={final['rows_total']} "
-            f"(expected restart at {n})"
-        )
+        # after expiry, the identical wave restarts counters at n —
+        # a SECOND (n, 0 dups) row beyond wave 1's own (survived state
+        # would continue to 2n with n dups instead)
+        assert _wait(
+            lambda rows: sum(
+                1 for r in rows
+                if r["repo"] == repo and r["rows_total"] == n
+                and r["dups_total"] == 0 and r["state_size"] > 0
+            ) >= 2
+        ), "group did not restart fresh after TTL expiry"
+        assert not any(
+            r["repo"] == repo and r["rows_total"] == 2 * n for r in _rows()
+        ), "state survived the TTL (counters continued past restart)"
     finally:
         q.stop()
+
+
+def test_stream_stateful_dedup_event_time_ttl(spark, tmp_path_factory):
+    """EventTimeTimeout form: state expiry follows DATA time — a group
+    whose last event is ttl behind the watermark is dropped when later
+    waves advance the watermark. Fully deterministic (fixed event
+    times, one file per micro-batch, no wall-clock dependence)."""
+    import shutil
+    from datetime import datetime
+
+    from bmpp.streaming import stream_group_dedup_event_ttl
+
+    T0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def wave(repo, n, hours, start=0):
+        return [
+            (repo, f"f{i}.py", "c0", "python", f"{repo} content {start + i}",
+             T0.replace(hour=hours))
+            for i in range(n)
+        ]
+
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, ts timestamp")
+    stage = tmp_path_factory.mktemp("et_stage")
+    stream_dir = tmp_path_factory.mktemp("et_stream")
+    waves = [
+        wave("repoA", 10, 0),   # batch 1: A @ T0
+        wave("repoB", 4, 3),    # batch 2: watermark → T0 (A still alive)
+        wave("repoC", 4, 6),    # batch 3: watermark → T0+3h ⇒ A expires
+        wave("repoA", 5, 7),    # batch 4: A restarts fresh
+    ]
+    for i, rows in enumerate(waves):
+        d = stage / f"w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d))
+        part = sorted(d.glob("part-*.parquet"))[0]
+        shutil.copy(part, stream_dir / f"wave{i}.parquet")
+
+    out = stream_group_dedup_event_ttl(
+        spark, str(stream_dir), spark.read.parquet(str(stage / "w0")).schema,
+        event_time_col="ts", event_ttl_ms=3_600_000,  # 1h TTL
+    ).collect()
+
+    a_rows = [r for r in out if r["repo"] == "repoA"]
+    assert any(r["rows_total"] == 10 for r in a_rows), "wave 1 missing"
+    assert any(
+        r["rows_total"] == 0 and r["state_size"] == 0 for r in a_rows
+    ), "event-time TTL tombstone missing — state never expired"
+    assert any(
+        r["rows_total"] == 5 and r["dups_total"] == 0 for r in a_rows
+    ), "group did not restart fresh after event-time expiry"
+    assert not any(r["rows_total"] == 15 for r in a_rows), (
+        "state survived past the event-time TTL"
+    )
+    # repoC's last event is within ttl of the final watermark → alive
+    assert not any(
+        r["repo"] == "repoC" and r["rows_total"] == 0 for r in out
+    )
 
 
 def test_stream_hourly_matches_batch(spark, tmp_path_factory):
