@@ -19,8 +19,16 @@ groupBy/window. Instead:
   probe-side partitions at runtime.
 
 At 10^12 files the phase-2 table is ~#distinct-hashes rows of 90
-bytes; the join stays a shuffled hash join with AQE skew splitting —
-never a window over partitionBy(hash), which AQE cannot split.
+bytes; the flag join back onto the corpus is SALT-REPLICATED (see
+``salted_join``): AQE's OptimizeSkewedJoin cannot repair this join —
+the build side's aggregate sits between its shuffle and the join, so
+the skew-split plan pattern (both children plain shuffle stages)
+never matches (verified empirically: the mega-hash partition stays
+whole under every AQE threshold). Salting the join key removes the
+skew by construction instead: the probe shuffles on (hash, salt) so
+the mega hash fans over JOIN_SALT reducers, and the build side —
+output-proportional, tiny — is replicated to every salt. Never a
+window over partitionBy(hash), which nothing can split.
 """
 
 from __future__ import annotations
@@ -61,6 +69,31 @@ def dup_groups(
     )
 
 
+JOIN_SALT = 16  # replication factor for salted_join (mega key → 1/16)
+
+
+def salted_join(
+    probe: DataFrame, build: DataFrame, hash_col: str, key_col: str,
+    salt: int = JOIN_SALT,
+) -> DataFrame:
+    """Skew-proof equi-join of a big ``probe`` onto a small ``build``
+    on ``hash_col``: probe rows shuffle on (hash, pmod(xxhash64(key),
+    salt)) — a key holding 10% of the corpus lands on ``salt``
+    reducers instead of one — and the build side is replicated to
+    every salt value. Semantics identical to probe ⋈ build (each probe
+    row meets its build row exactly once). Deterministic by
+    construction: no reliance on AQE skew detection, which cannot fire
+    on this plan shape anyway (build aggregates reuse the join
+    partitioning, so OptimizeSkewedJoin's pattern never matches)."""
+    p = probe.withColumn(
+        "_jsalt", F.pmod(F.xxhash64(key_col), F.lit(salt)).cast("int")
+    )
+    b = build.withColumn(
+        "_jsalt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return p.join(b, [hash_col, "_jsalt"]).drop("_jsalt")
+
+
 def dup_flags(slim: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
     """Slim flag table from (content_sha256, doc_key): one row per
     member of a duplicate group → (doc_key, is_duplicate, dup_of,
@@ -69,9 +102,10 @@ def dup_flags(slim: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
     wide data is proportional to the dup rate, not the corpus, and AQE
     can usually broadcast it."""
     groups = dup_groups(slim, "content_sha256", "doc_key", cfg.dedup_salt_buckets)
-    # probe-side shuffle on content_sha256 is the skewed one (mega-
-    # group); it is a JOIN, so AQE skewJoin splits it at runtime.
-    return slim.join(groups, "content_sha256").select(
+    # the probe shuffle on content_sha256 alone would put the whole
+    # mega-group on one reducer; salted_join spreads it (see module
+    # docstring for why AQE skew-split cannot repair this join)
+    return salted_join(slim, groups, "content_sha256", "doc_key").select(
         "doc_key",
         (F.col("doc_key") != F.col("_rep")).alias("is_duplicate"),
         F.when(F.col("doc_key") != F.col("_rep"), F.col("_rep")).alias("dup_of"),

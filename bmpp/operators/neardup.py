@@ -77,8 +77,13 @@ def near_flags(
         .agg(F.min("_cand").alias("_rep"), F.sum("_cnt").alias("_n"))
         .filter(F.col("_n") > 1)
     )
+    # salted replicated join (operators.dedup.salted_join): a hot band
+    # bucket would otherwise land whole on one reducer — AQE skew-split
+    # cannot fire on this agg-fed join shape
+    from .dedup import salted_join
+
     return (
-        pairs.join(buckets, "band_hash")
+        salted_join(pairs, buckets, "band_hash", "doc_key")
         .filter(F.col("doc_key") != F.col("_rep"))
         .groupBy("doc_key")
         .agg(F.min("_rep").alias("near_dup_of"))

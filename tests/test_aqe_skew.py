@@ -1,0 +1,116 @@
+"""Join-skew evidence for the planted mega-group (10% of the corpus on
+ONE content hash — the chr-size hot-spot analog).
+
+Three facts, each observed rather than assumed:
+
+1. AQE's OptimizeSkewedJoin DOES fire on a plain-shuffle join of the
+   same data (``skew=true`` + ``AQEShuffleRead skewed`` in the final
+   adaptive plan) — the runtime safety net exists and works.
+2. It CANNOT fire on the natural dedup join shape (groups aggregate
+   feeding the join reuses the join partitioning, so the skew-split
+   pattern — both children plain shuffle stages — never matches).
+   This is why relying on AQE here would be a silent 100×-scale bug.
+3. The engine therefore SALTS the flag join (operators.dedup
+   .salted_join): the mega hash fans over JOIN_SALT reducers by
+   construction — max partition share measured, no AQE dependence.
+
+Thresholds are scaled to sandbox data volume (defaults trigger at
+256 MB; the sandbox mega partition is ~0.5 MB — partition sizes and
+plan shapes are real, only the trigger point is scaled)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bmpp import corpus, rules
+from bmpp.operators.dedup import dup_flags, dup_groups, with_keys
+
+SANDBOX_SKEW_CONFS = {
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "10k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10k",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@pytest.fixture()
+def skew_confs(spark):
+    old = {k: spark.conf.get(k) for k in SANDBOX_SKEW_CONFS}
+    for k, v in SANDBOX_SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    yield
+    for k, v in old.items():
+        spark.conf.set(k, v)
+
+
+@pytest.fixture(scope="module")
+def slim(spark):
+    src = corpus.corpus_df(spark, 20_000, partitions=8).drop("plant")
+    return with_keys(src).select("content_sha256", "doc_key")
+
+
+def _final_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_aqe_skew_split_fires_on_plain_shuffle_join(spark, slim, skew_confs):
+    """Safety-net demonstration: joining the corpus hashes against a
+    plain (scan-fed) build side, AQE detects the mega-hash partition
+    and splits it."""
+    groups = dup_groups(slim, "content_sha256", "doc_key", 64)
+    # materialize the (tiny, output-proportional) groups table so the
+    # build side is a plain stage — the shape AQE can repair
+    plain = spark.createDataFrame(
+        groups.collect(), schema="content_sha256 string, _rep string, dup_group_size long"
+    )
+    j = slim.join(plain, "content_sha256")
+    # collect() (not count()) — count() executes a cloned plan, leaving
+    # this DataFrame's own adaptive plan unfinalized
+    assert len(j.collect()) > 2_000
+    plan = _final_plan(j)
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, "AQE skew split did not fire:\n" + plan[:2000]
+    assert "AQEShuffleRead skewed" in plan
+
+
+def test_aqe_cannot_repair_agg_fed_join(spark, slim, skew_confs):
+    """The motivating fact for salted_join: on the natural shape
+    (aggregate → join, partitioning reused) AQE NEVER splits the
+    mega-hash partition, under thresholds that provably fire above."""
+    groups = dup_groups(slim, "content_sha256", "doc_key", 64)
+    j = slim.join(groups, "content_sha256")
+    assert len(j.collect()) > 2_000
+    plan = _final_plan(j)
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" not in plan, (
+        "AQE now repairs agg-fed joins — revisit whether salted_join "
+        "is still required:\n" + plan[:2000]
+    )
+
+
+def test_salted_join_balances_mega_group(spark, slim, skew_confs):
+    """The shipped fix: dup_flags' salted join spreads the mega group.
+    Unsalted, the mega hash puts ~69% of flag rows on one reducer;
+    salted, the max partition share stays bounded."""
+    flags = dup_flags(slim, rules.PipelineConfig())
+    by_part = (
+        flags.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid").count().collect()
+    )
+    total = sum(r["count"] for r in by_part)
+    max_share = max(r["count"] for r in by_part) / total
+    # mega group alone is ~69% of flag rows; JOIN_SALT=16 fans it out
+    assert total > 2_000
+    assert max_share < 0.35, f"salted join left a hot partition: {max_share:.2f}"
+
+    # contrast: the unsalted legacy join concentrates the mega group
+    groups = dup_groups(slim, "content_sha256", "doc_key", 64)
+    legacy = slim.join(groups, "content_sha256").select("doc_key")
+    by_part = (
+        legacy.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid").count().collect()
+    )
+    legacy_share = max(r["count"] for r in by_part) / total
+    assert legacy_share > 0.5, "corpus no longer plants a mega group?"
