@@ -101,6 +101,9 @@ def main() -> None:
     scaling = Path(__file__).resolve().parent / "BENCH" / "scaling.json"
     if scaling.exists():  # latest N-vs-4N evidence (scripts/scaling_bench.py)
         out["scaling"] = json.loads(scaling.read_text())
+    scale_up = Path(__file__).resolve().parent / "BENCH" / "scale_sf1.json"
+    if scale_up.exists():  # 40× scale-up evidence (scripts/scale_evidence.py)
+        out["scale_up"] = json.loads(scale_up.read_text())
     print(json.dumps(out))
     spark.stop()
 

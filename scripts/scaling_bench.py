@@ -34,7 +34,7 @@ LEVELS = (
 PAIRS = [(n, 4 * n) for n in LEVELS if 4 * n in LEVELS]
 CORPUS = Path(f"/tmp/bmpp_scale_corpus_{ROWS}")
 REPS = 2
-PROTOCOL = "8m-splits-shm-noop-v2"  # bump when the spark-submit confs change
+PROTOCOL = "8m-splits-shm-noop-v3-saltedjoin"  # bump when confs OR the engine change (walls merge across invocations)
 # measured by scripts/host_ceiling.py on this VM (quiet box, best-of-2,
 # 2026-08-16): what a perfectly parallel shared-nothing numpy workload
 # achieves — walls {1: 32.4, 2: 16.5, 4: 8.4, 8: 5.3}s
