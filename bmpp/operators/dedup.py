@@ -74,7 +74,7 @@ JOIN_SALT = 16  # replication factor for salted_join (mega key → 1/16)
 
 def salted_join(
     probe: DataFrame, build: DataFrame, hash_col: str, key_col: str,
-    salt: int = JOIN_SALT,
+    salt: int = JOIN_SALT, how: str = "inner",
 ) -> DataFrame:
     """Skew-proof equi-join of a big ``probe`` onto a small ``build``
     on ``hash_col``: probe rows shuffle on (hash, pmod(xxhash64(key),
@@ -91,7 +91,7 @@ def salted_join(
     b = build.withColumn(
         "_jsalt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
-    return p.join(b, [hash_col, "_jsalt"]).drop("_jsalt")
+    return p.join(b, [hash_col, "_jsalt"], how).drop("_jsalt")
 
 
 def dup_flags(slim: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:

@@ -81,17 +81,19 @@ def q_dedup_exact(spark, sf_dir):
     keep best (min doc_id), flag the rest — REMOVE_DUPLICATES=false.
 
     Runs the engine's own skew-safe plan (operators.dedup.dup_groups:
-    salted two-phase agg + join back), NOT a window over
-    partitionBy(hash) — a 10%-of-corpus mega-group would hot-spot one
-    reducer there and AQE cannot split a Window partition. The join IS
-    AQE-splittable (guarded by tests/test_plans.py)."""
-    from .operators.dedup import dup_groups
+    salted two-phase agg + SALT-REPLICATED join back), NOT a window
+    over partitionBy(hash) — a 10%-of-corpus mega-group would hot-spot
+    one reducer there and AQE cannot split a Window partition — and
+    not a plain join on the hash either: AQE skew-split cannot fire on
+    agg-fed joins (tests/test_aqe_skew.py), so the join key carries an
+    explicit salt (guarded by tests/test_plans.py)."""
+    from .operators.dedup import dup_groups, salted_join
 
     d = _t(spark, sf_dir, "documents").withColumn("content_hash", F.md5("text"))
     groups = dup_groups(
         d.select("content_hash", "doc_id"), "content_hash", "doc_id", 64
     )
-    return d.join(groups, "content_hash", "left").select(
+    return salted_join(d, groups, "content_hash", "doc_id", how="left").select(
         "doc_id",
         "content_hash",
         F.col("dup_group_size").isNotNull().alias("in_dup_group"),
@@ -1276,6 +1278,12 @@ def simhash_hamming_flags(d, max_hamming: int = 3):
     if _simhash_bits_udf is None:
         _simhash_bits_udf = F.pandas_udf(_simhash_bits_py, "string")
     bits = d.select("doc_id", _simhash_bits_udf(F.col("text")).alias("b"))
+    # the self-join consumes bits on BOTH sides — persist EAGERLY so
+    # the fingerprint UDF runs once, not twice (and the branches can't
+    # race to compute it; same discipline as pipeline.build_plan). The
+    # persisted projection is slim: (doc_id, 64-char string).
+    bits = bits.persist()
+    bits.count()
     chunks = (
         bits.filter(F.col("b") != F.lit("0" * 64))
         .select(

@@ -87,6 +87,24 @@ def test_dedup_exact_has_no_window_on_hash(spark):
     assert "HashAggregate" in plan
 
 
+def test_dedup_exact_join_is_salted(spark):
+    """The flag join must carry the explicit join salt — AQE skew-split
+    cannot repair agg-fed joins (tests/test_aqe_skew.py), so removing
+    the salt would reintroduce the mega-group hot reducer."""
+    plan = _plan(q_dedup_exact(spark, SF))
+    assert "_jsalt" in plan
+
+
+def test_simhash_hamming_no_cartesian(spark):
+    """Hamming candidate generation must stay a chunk-key equi-join
+    (pigeonhole LSH), never an all-pairs product."""
+    from bmpp.queries import q_simhash_hamming
+
+    plan = _plan(q_simhash_hamming(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_embedding_neardup_is_cell_bucketed(spark):
     """The pair-mining plan must be the distributed shape: grouped
     applyInPandas over (cell, salt), never an all-pairs product — and
