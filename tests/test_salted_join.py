@@ -1,0 +1,48 @@
+"""salted_join must be a pure physical rewrite: bit-identical results
+to the plain equi-join for every join type it supports, on adversarial
+shapes (mega-key skew, build keys missing from probe and vice versa,
+single-row tables, salt larger than the table)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bmpp.operators.dedup import salted_join
+
+
+def _tables(spark, seed: int, n: int):
+    rng = random.Random(seed)
+    probe = [
+        (f"h{rng.randint(0, 9) if rng.random() < 0.5 else 0}", f"k{i}")
+        for i in range(n)  # ~50% of rows on hash h0 (mega key)
+    ]
+    build = [(f"h{h}", f"rep{h}", h + 1) for h in range(0, 12, 2)]  # h10 unmatched
+    p = spark.createDataFrame(probe, "h string, k string")
+    b = spark.createDataFrame(build, "h string, rep string, sz long")
+    return p, b
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+@pytest.mark.parametrize("salt", [1, 3, 16, 64])
+def test_salted_join_equals_plain_join(spark, how, salt):
+    p, b = _tables(spark, seed=7, n=400)
+    want = sorted(
+        tuple(r) for r in p.join(b, "h", how).select("h", "k", "rep", "sz").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in salted_join(p, b, "h", "k", salt=salt, how=how)
+        .select("h", "k", "rep", "sz")
+        .collect()
+    )
+    assert got == want
+
+
+def test_salted_join_empty_build(spark):
+    p, _ = _tables(spark, seed=1, n=50)
+    empty = spark.createDataFrame([], "h string, rep string")
+    assert salted_join(p, empty, "h", "k").count() == 0
+    assert salted_join(p, empty, "h", "k", how="left").count() == 50

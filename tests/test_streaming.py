@@ -55,6 +55,33 @@ def test_stream_exact_dedup_one_per_hash(spark, corpus_dir):
     assert len(hashes) == batch_distinct
 
 
+def test_stream_exact_dedup_within_watermark(spark, tmp_path_factory):
+    """Event-time-bounded form (dropDuplicatesWithinWatermark): dups
+    arriving within the delay of the first occurrence are removed;
+    state is watermark-bounded (the production contract). With all
+    events inside one window the output must equal the unbounded
+    form's distinct set."""
+    from datetime import datetime
+
+    T0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("repoA", f"f{i}.py", "c0", "python", f"content {i % 5}", T0)
+        for i in range(20)
+    ]
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, ts timestamp")
+    d = tmp_path_factory.mktemp("wm_dedup")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "in"))
+    out = stream_exact_dedup(
+        spark, str(d / "in"), spark.read.parquet(str(d / "in")).schema,
+        watermark_col="ts", watermark_delay="1 hour",
+    )
+    hashes = [r["content_sha256"] for r in out.collect()]
+    assert len(hashes) == len(set(hashes)) == 5
+
+
 def test_stream_stateful_dedup_counts_match_batch(spark, corpus_dir):
     from pyspark.sql import functions as F
 
