@@ -104,6 +104,9 @@ def main() -> None:
     scale_up = Path(__file__).resolve().parent / "BENCH" / "scale_sf1.json"
     if scale_up.exists():  # 40× scale-up evidence (scripts/scale_evidence.py)
         out["scale_up"] = json.loads(scale_up.read_text())
+    cat_scale = Path(__file__).resolve().parent / "BENCH" / "catalog_sf1.json"
+    if cat_scale.exists():  # catalog at sf1.0-equivalent (scripts/catalog_scale.py)
+        out["catalog_scale"] = json.loads(cat_scale.read_text())
     print(json.dumps(out))
     spark.stop()
 

@@ -1,0 +1,230 @@
+"""Catalog scale-up evidence: the training-data operator catalog at
+sf1.0-equivalent table sizes.
+
+/root/testdata stops at sf0.1 (5,000 documents / 2,000 embeddings), so
+this script synthesizes DETERMINISTIC sf1.0-equivalent tables (10×:
+50,000 documents from the same generator the pipeline corpus uses —
+mega dup group and near-dup plants included — and 20,000 embeddings
+with planted near-identical pairs), then times every catalog query
+that reads only these two tables at BOTH scales in one session.
+
+A query whose wall grows ≈ linearly (≤ ~10-12× for 10× input) has a
+scale-shaped plan; sublinear growth means the sf0.1 wall was overhead-
+dominated. Explicitly bounded demo queries (ngram_jaccard,
+minhash_lsh_sql, udtf_chunks — documented constant-work verification
+twins) are excluded.
+
+Session confs mirror bench.py (8 MB splits, /dev/shm local dirs) so
+walls are comparable with BENCH_r{N} catalog figures.
+
+Writes BENCH/catalog_sf1.json + BENCH/CATALOG_SCALE.md.
+
+Run: python scripts/catalog_scale.py [mult]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SF01 = "/root/testdata/sf0.1"
+SYNTH = Path(f"/tmp/bmpp_sf_synth_x{MULT}")
+N_DOCS, N_VECS, DIM = 5_000 * MULT, 2_000 * MULT, 64
+SEED = 90210
+
+EXCLUDE = {
+    # bounded verification twins (constant work by design)
+    "ngram_jaccard", "minhash_lsh_sql", "udtf_chunks",
+}
+
+
+def ensure_tables(spark) -> None:
+    import numpy as np
+    import pandas as pd
+
+    from bmpp import corpus
+
+    if not (SYNTH / "_DONE").exists():
+        SYNTH.mkdir(parents=True, exist_ok=True)
+
+        def gen_docs(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    r = corpus.gen_row(int(i), SEED)
+                    rows.append(
+                        (int(i), r["content"], r["lang"], r["repo"],
+                         len(r["content"]))
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+                )
+
+        (
+            spark.range(0, N_DOCS, 1, 128)
+            .mapInPandas(gen_docs,
+                         "doc_id long, text string, lang string, "
+                         "source string, n_chars long")
+            .write.mode("overwrite").parquet(str(SYNTH / "documents.parquet"))
+        )
+
+        def gen_vecs(batches):
+            for pdf in batches:
+                out = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    # planted near-identical pairs: odd ids in every
+                    # 5th pair derive from their even partner + tiny
+                    # deterministic noise (pure function of i)
+                    planted = (i % 2 == 1) and ((i // 2) % 5 == 0)
+                    base_id = i - 1 if planted else i
+                    v = np.random.RandomState(SEED + base_id).randn(DIM)
+                    if planted:
+                        v = v + 0.01 * np.random.RandomState(7 * SEED + i).randn(DIM)
+                    out.append((i, [float(x) for x in v.astype(np.float32)],
+                                i % 10))
+                yield pd.DataFrame(out, columns=["vec_id", "embedding", "label"])
+
+        (
+            spark.range(0, N_VECS, 1, 64)
+            .mapInPandas(gen_vecs,
+                         "vec_id long, embedding array<float>, label int")
+            .write.mode("overwrite").parquet(str(SYNTH / "embeddings.parquet"))
+        )
+        (SYNTH / "_DONE").touch()
+
+
+def main() -> None:
+    import re
+
+    from bmpp.queries import CATALOG
+    from bmpp.session import get_spark
+
+    extra = {
+        "spark.sql.files.maxPartitionBytes": "8m",
+        "spark.sql.files.openCostInBytes": "524288",
+    }
+    import os
+    if os.path.isdir("/dev/shm"):
+        extra["spark.local.dir"] = "/dev/shm/bmpp_catscale"
+    spark = get_spark(app="bmpp-catalog-scale", cores=32, extra=extra)
+
+    # keep only queries reading documents/embeddings exclusively (the
+    # synthetic dir has no TPC-H tables)
+    src = open(REPO / "bmpp" / "queries.py").read()
+    funcs = re.split(r"\ndef (q_\w+)", src)
+    uses = {}
+    for i in range(1, len(funcs), 2):
+        uses[funcs[i]] = set(
+            re.findall(r'_t\(spark, sf_dir, "(\w+)"\)', funcs[i + 1])
+        )
+    subset = [
+        (n, fn) for n, (fn, _sql) in sorted(CATALOG.items())
+        if n not in EXCLUDE
+        and uses.get(fn.__name__)
+        and uses[fn.__name__] <= {"documents", "embeddings"}
+    ]
+
+    ensure_tables(spark)
+
+    def texec(fn, sf_dir):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    # warmup (JIT + python workers)
+    from bmpp.queries import q_token_count
+    texec(q_token_count, SF01)
+
+    # budgets follow the input each query actually reads: the synthetic
+    # documents are longer than sf0.1's (pipeline-corpus generator), so
+    # text-bound ops see char_mult × the work, not MULT ×. Pair mining
+    # is inherently output/pair-bound: on isotropic random vectors
+    # (IVF's worst case) candidate pairs grow ~quadratically, so its
+    # budget is MULT² (real embedding spaces cluster and prune more).
+    import duckdb
+
+    con = duckdb.connect()
+    chars01 = con.execute(
+        f"SELECT sum(n_chars) FROM read_parquet('{SF01}/documents.parquet')"
+    ).fetchone()[0]
+    chars10 = con.execute(
+        "SELECT sum(n_chars) FROM "
+        f"read_parquet('{SYNTH}/documents.parquet/*.parquet')"
+    ).fetchone()[0]
+    char_mult = chars10 / chars01
+
+    def budget_for(name: str) -> float:
+        if name == "embedding_neardup":
+            return round(MULT * MULT * 1.5, 1)
+        if uses[CATALOG[name][0].__name__] == {"embeddings"}:
+            return round(MULT * 1.2, 1)
+        return round(char_mult * 1.2, 1)  # documents-reading: char-bound
+    rows = []
+    for name, fn in subset:
+        w01 = texec(fn, SF01)
+        w10 = texec(fn, str(SYNTH))
+        rows.append({
+            "query": name,
+            "sf0.1_sec": w01,
+            f"x{MULT}_sec": w10,
+            "growth": round(w10 / w01, 2),
+            "budget": budget_for(name),
+        })
+        print(json.dumps(rows[-1]), file=sys.stderr)
+
+    out = {
+        "mult": MULT,
+        "char_mult": round(char_mult, 2),
+        "n_docs": N_DOCS,
+        "n_vecs": N_VECS,
+        "queries": rows,
+        "all_within_budget": all(r["growth"] <= r["budget"] for r in rows),
+    }
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    (REPO / "BENCH" / "catalog_sf1.json").write_text(json.dumps(out))
+
+    lines = [
+        f"# BENCH/CATALOG_SCALE — catalog ops at sf1.0-equivalent ({MULT}× sf0.1)",
+        "",
+        f"Deterministic synthetic tables: {N_DOCS:,} documents (same",
+        "generator as the pipeline corpus — mega dup group + near-dup",
+        f"plants included), {N_VECS:,} embeddings (planted near-identical",
+        "pairs). Both scales timed in ONE session, bench.py confs, noop",
+        f"sink. The synthetic documents are longer than sf0.1's, so the",
+        f"character volume is **{char_mult:.1f}×** (rows: {MULT}×) — budgets",
+        "for documents-reading queries use the char multiplier (they are",
+        "at most linear in bytes), embeddings queries use the row",
+        "multiplier, pair mining gets a quadratic budget. growth =",
+        "wall(large)/wall(sf0.1); sublinear growth ⇒ the sf0.1 wall was",
+        "overhead-dominated (fixed job-submission cost), not data-bound.",
+        "",
+        f"| query | sf0.1 (s) | ×{MULT} (s) | growth | budget |",
+        "| --- | --- | --- | --- | --- |",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['query']} | {r['sf0.1_sec']} | {r[f'x{MULT}_sec']} | "
+            f"{r['growth']}× | {r['budget']}× |"
+        )
+    lines += [
+        "",
+        "- all queries within budget: "
+        f"**{'YES' if out['all_within_budget'] else 'NO'}**.",
+        "- bounded verification twins (ngram_jaccard, minhash_lsh_sql,",
+        "  udtf_chunks) excluded — constant work by design.",
+        "",
+    ]
+    (REPO / "BENCH" / "CATALOG_SCALE.md").write_text("\n".join(lines))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
