@@ -73,3 +73,20 @@ def test_gating_with_configured_catalog(spark, ice):
         assert ice.is_available(spark) is True
     finally:
         spark.conf.unset("spark.sql.catalog.lake")
+
+
+def test_exists_matches_parquet_io_duck_type(spark, ice):
+    """pipeline.run_resumable calls io.exists(stage, config_hash) with
+    TWO args — the Iceberg variant must default to the active session
+    (not raise on arity) so the snapshot-IO duck type is polymorphic.
+    With a configured (fake) catalog, the probe runs and reports the
+    table as absent; without one it still raises the clear gate."""
+    import pytest
+
+    spark.conf.set("spark.sql.catalog.lake", "org.example.FakeCatalog")
+    try:
+        assert ice.exists("enrich", "abc123") is False
+    finally:
+        spark.conf.unset("spark.sql.catalog.lake")
+    with pytest.raises(RuntimeError, match="not configured"):
+        ice.exists("enrich", "abc123")
