@@ -98,17 +98,42 @@ def main() -> None:
         "pipeline_rows_per_sec": round(PIPELINE_ROWS / pipeline_sec, 1),
         "cores": cores,
     }
-    scaling = Path(__file__).resolve().parent / "BENCH" / "scaling.json"
-    if scaling.exists():  # latest N-vs-4N evidence (scripts/scaling_bench.py)
-        out["scaling"] = json.loads(scaling.read_text())
-    scale_up = Path(__file__).resolve().parent / "BENCH" / "scale_sf1.json"
-    if scale_up.exists():  # 40× scale-up evidence (scripts/scale_evidence.py)
-        out["scale_up"] = json.loads(scale_up.read_text())
-    cat_scale = Path(__file__).resolve().parent / "BENCH" / "catalog_sf1.json"
-    if cat_scale.exists():  # catalog at sf1.0-equivalent (scripts/catalog_scale.py)
-        out["catalog_scale"] = json.loads(cat_scale.read_text())
-    print(json.dumps(out))
+    # Reference the BENCH/ evidence files by PATH only: round 3 proved
+    # that inlining their JSON blobs grows this line past the driver's
+    # tail-capture window (BENCH_r03.json came back parsed: null). Pull
+    # one headline number from each so the compact line still carries
+    # the scale signal; the full evidence lives in the files.
+    bench_dir = Path(__file__).resolve().parent / "BENCH"
+    evidence: dict[str, str] = {}
+    for fname, key in (
+        ("scaling.json", "scaling_efficiency_1to4"),
+        ("scale_sf1.json", "scale_up_rows_per_sec"),
+        ("catalog_sf1.json", None),
+    ):
+        p = bench_dir / fname
+        if not p.exists():
+            continue
+        evidence[fname] = f"BENCH/{fname}"
+        try:
+            blob = json.loads(p.read_text())
+        except (json.JSONDecodeError, OSError):
+            continue
+        if fname == "scaling.json":
+            eff = blob.get("pairs", {}).get("1->4", {}).get("efficiency")
+            if eff is not None:
+                out[key] = eff
+        elif fname == "scale_sf1.json":
+            rps = blob.get("regimes", {}).get("production", {}).get("rows_per_sec")
+            if rps is not None:
+                out[key] = rps
+            ratio = blob.get("production_vs_sf01_ratio")
+            if ratio is not None:
+                out["scale_up_vs_sf01_ratio"] = ratio
+    if evidence:
+        out["evidence_files"] = sorted(evidence.values())
     spark.stop()
+    # FINAL printed line = the one compact JSON object (driver contract)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

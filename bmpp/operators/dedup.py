@@ -84,7 +84,19 @@ def salted_join(
     row meets its build row exactly once). Deterministic by
     construction: no reliance on AQE skew detection, which cannot fire
     on this plan shape anyway (build aggregates reuse the join
-    partitioning, so OptimizeSkewedJoin's pattern never matches)."""
+    partitioning, so OptimizeSkewedJoin's pattern never matches).
+
+    ``how`` is restricted to probe-preserving joins: with 'right' or
+    'full', each UNMATCHED build row would survive once per salt
+    replica, silently multiplying output rows."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — build-side rows are "
+            f"replicated {salt}x, so only probe-preserving joins "
+            f"({sorted(allowed)}) keep plain-join semantics"
+        )
     p = probe.withColumn(
         "_jsalt", F.pmod(F.xxhash64(key_col), F.lit(salt)).cast("int")
     )

@@ -37,7 +37,10 @@ def cap_bucket_members(
     bucket fans over ``_CAP_SALT`` window groups — and keeps ``cap``
     per group (a superset of the global top-cap); phase 2 ranks the
     ≤ _CAP_SALT×cap survivors per bucket, which is trivially bounded."""
-    ordc = F.sha2(F.col(key_col), 256)
+    # cast: key may be a numeric id (simhash chunk cap) — sha2 needs
+    # string/binary; for string keys the cast is a no-op, preserving
+    # the oracle's bit-exact sha256(doc_key) ordering
+    ordc = F.sha2(F.col(key_col).cast("string"), 256)
     salt = F.pmod(F.xxhash64(key_col), F.lit(_CAP_SALT))
     w1 = W.partitionBy(bucket_col, "_ds_salt").orderBy("_ord", key_col)
     w2 = W.partitionBy(bucket_col).orderBy("_ord", key_col)

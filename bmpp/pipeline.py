@@ -122,9 +122,11 @@ def build_plan(
     materialize: bool = True,
 ) -> DataFrame:
     """Single-app plan. ``materialize=True`` persists the enriched
-    table (MEMORY_AND_DISK) so the flag aggregations and the final
-    join don't re-run the UDF pass; set False for a fully lazy plan
-    (e.g. when the caller checkpoints externally)."""
+    table (DISK_ONLY — measured rationale in the comment below; keep
+    docstring and code in sync with the CLAUDE.md invariant) so the
+    flag aggregations and the final join don't re-run the UDF pass;
+    set False for a fully lazy plan (e.g. when the caller checkpoints
+    externally)."""
     cfg = cfg or rules.PipelineConfig()
     base = enrich(df, cfg)
     if materialize and (cfg.do_dedup or cfg.do_near_dedup):

@@ -171,7 +171,12 @@ def _group_dedup_stream(
     else:
         timeout = GroupStateTimeout.NoTimeout
     slim = src.select(*cols)
-    state_schema = "hashes array<string>, rows long, dups long"
+    # max_et: running max event time (ms) across ALL batches — the TTL
+    # contract is "last (newest) event time seen by the group + ttl",
+    # so a late micro-batch carrying only OLDER events must not pull
+    # the timeout backwards (it would expire state early and count
+    # subsequent duplicates as fresh)
+    state_schema = "hashes array<string>, rows long, dups long, max_et long"
 
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -186,10 +191,11 @@ def _group_dedup_stream(
                 }
             )
             return
-        order, rows, dups = state.get if state.exists else ([], 0, 0)
+        order, rows, dups, max_et_ms = (
+            state.get if state.exists else ([], 0, 0, 0)
+        )
         order = list(order)  # insertion-ordered → deterministic eviction
         seen = set(order)
-        max_et_ms = 0
         for pdf in pdfs:
             for h in pdf["content_sha256"]:
                 rows += 1
@@ -203,10 +209,12 @@ def _group_dedup_stream(
             if event_ttl_ms and len(pdf):
                 m = pdf["_et"].max()
                 max_et_ms = max(max_et_ms, int(pd.Timestamp(m).value // 1_000_000))
-        state.update((order, rows, dups))
+        state.update((order, rows, dups, max_et_ms))
         if event_ttl_ms:
-            # expire when the watermark passes (last event time + ttl);
-            # must stay strictly above the current watermark
+            # expire when the watermark passes (newest event time ever
+            # seen by the group + ttl — max_et_ms carries across
+            # batches, so late/older batches never regress the
+            # timeout); must stay strictly above the current watermark
             state.setTimeoutTimestamp(
                 max(max_et_ms + event_ttl_ms, state.getCurrentWatermarkMs() + 1)
             )

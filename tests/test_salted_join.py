@@ -46,3 +46,14 @@ def test_salted_join_empty_build(spark):
     empty = spark.createDataFrame([], "h string, rep string")
     assert salted_join(p, empty, "h", "k").count() == 0
     assert salted_join(p, empty, "h", "k", how="left").count() == 50
+
+
+def test_salted_join_rejects_build_preserving_how(spark):
+    """'right'/'full' would emit each unmatched build row once per
+    salt replica — the signature must reject them loudly."""
+    import pytest
+
+    p, b = _tables(spark, seed=3, n=20)
+    for how in ("right", "full", "outer", "cross"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(p, b, "h", "k", how=how)

@@ -63,3 +63,46 @@ def test_exact_duplicates_flag_at_hamming_zero(spark):
     docs = [(7, BASE), (9, BASE)]
     got = _flags(spark, docs)
     assert got == {7: None, 9: 7}
+
+
+def test_chunk_bucket_cap_off_by_default_and_binds(spark):
+    """`chunk_bucket_cap` (reference --downsampling_type analog): off
+    → results identical to the uncapped path even on a degenerate
+    corpus; cap=2 on 20 identical docs keeps only the 2 smallest-
+    sha256(doc_id) members per (chunk_idx, chunk) bucket, so exactly
+    one flag survives instead of 19 — candidate volume goes from
+    O(n²) to O(cap²) per bucket."""
+    docs = [(i, BASE) for i in range(1, 21)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = {
+        r["doc_id"]: r["near_dup_of"]
+        for r in simhash_hamming_flags(df).collect()
+    }
+    explicit_off = {
+        r["doc_id"]: r["near_dup_of"]
+        for r in simhash_hamming_flags(df, chunk_bucket_cap=None).collect()
+    }
+    assert uncapped == explicit_off
+    assert sum(v is not None for v in uncapped.values()) == 19
+
+    capped = {
+        r["doc_id"]: r["near_dup_of"]
+        for r in simhash_hamming_flags(df, chunk_bucket_cap=2).collect()
+    }
+    flagged = {k: v for k, v in capped.items() if v is not None}
+    assert len(flagged) == 1, f"cap=2 should leave one pair: {flagged}"
+    # the surviving pair is the 2 smallest by (sha256(str(doc_id)), id)
+    import hashlib
+
+    keep = sorted(
+        range(1, 21),
+        key=lambda i: (hashlib.sha256(str(i).encode()).hexdigest(), i),
+    )[:2]
+    assert flagged == {max(keep): min(keep)}
+    # a cap at/above the bucket size must change nothing
+    wide = {
+        r["doc_id"]: r["near_dup_of"]
+        for r in simhash_hamming_flags(df, chunk_bucket_cap=20).collect()
+    }
+    assert wide == uncapped

@@ -299,3 +299,79 @@ def test_stream_hourly_matches_batch(spark, tmp_path_factory):
         ).fetchall()
     }
     assert got == want
+
+
+def test_stream_event_ttl_late_batch_does_not_regress_timeout(
+    spark, tmp_path_factory
+):
+    """The TTL contract is 'NEWEST event time ever seen by the group +
+    ttl'. A later micro-batch carrying only LATE (older-than-the-
+    group's-max, but above-watermark) events must not pull the timeout
+    backwards — that would expire state early and count subsequent
+    duplicates as fresh. Regression test for the round-3 ADVICE item:
+    the timeout is now derived from the running max stored in state.
+
+    Timeline (watermark delay 10h so the late wave passes the
+    watermark; ttl 2h):
+      wave 1: A @ h10, B @ h10   → A timeout = h12; wm → h0
+      wave 2: A @ h1 (LATE)      → buggy: timeout = max(h1+2h, wm+1) = h3
+                                    fixed: max_et stays h10 → h12
+      wave 3: B @ h13.5          → wm → h3.5 after this batch
+      wave 4: B only             → A has NO data, so its timer is
+                                    checked against wm h3.5: the buggy
+                                    h3 fires (tombstone), the fixed
+                                    h12 survives
+      wave 5: A @ h4, repeating wave-1 content → dups iff state alive
+
+    (The A-less wave 4 matters: Spark only fires a key's event-time
+    timer in a batch where that key has no input rows.)
+    """
+    import shutil
+    from datetime import datetime
+
+    from bmpp.streaming import stream_group_dedup_event_ttl
+
+    def wave(repo, n, minutes, start=0):
+        t = datetime(2026, 1, 1, 0, 0, 0) + __import__(
+            "datetime"
+        ).timedelta(minutes=minutes)
+        return [
+            (repo, f"f{i}.py", "c0", "python",
+             f"{repo} content {start + i}", t)
+            for i in range(n)
+        ]
+
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, ts timestamp")
+    stage = tmp_path_factory.mktemp("late_stage")
+    stream_dir = tmp_path_factory.mktemp("late_stream")
+    waves = [
+        wave("repoA", 10, 600) + wave("repoB", 3, 600),  # h10
+        wave("repoA", 3, 60, start=100),                 # h1 (late)
+        wave("repoB", 3, 810, start=100),                # h13.5
+        wave("repoB", 2, 816, start=200),                # h13.6 (A-less)
+        wave("repoA", 5, 240),                           # h4: dups of wave 1
+    ]
+    for i, rows in enumerate(waves):
+        d = stage / f"w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d))
+        part = sorted(d.glob("part-*.parquet"))[0]
+        shutil.copy(part, stream_dir / f"wave{i}.parquet")
+
+    out = stream_group_dedup_event_ttl(
+        spark, str(stream_dir), spark.read.parquet(str(stage / "w0")).schema,
+        event_time_col="ts", event_ttl_ms=7_200_000,  # 2h TTL
+        watermark_delay="10 hours",
+    ).collect()
+
+    a_rows = [r for r in out if r["repo"] == "repoA"]
+    assert not any(
+        r["rows_total"] == 0 for r in a_rows
+    ), "late batch regressed the event-time timeout: state expired early"
+    final = max(a_rows, key=lambda r: r["rows_total"])
+    assert final["rows_total"] == 18
+    assert final["dups_total"] == 5, (
+        "wave-4 duplicates not recognized — state was lost"
+    )
