@@ -1246,7 +1246,15 @@ def q_minhash_neardup(spark, sf_dir):
 
 def q_langid(spark, sf_dir):
     """fastText-style langid + perplexity scoring over documents
-    (Arrow-batched UDF, executor-singleton model — no SQL oracle)."""
+    (Arrow-batched UDF, executor-singleton model). The model is not
+    SQL-expressible, but its outputs on the driver's fixed comparison
+    table (sf0.01) ARE a deterministic function of the frozen
+    resources — materialized once as fixtures/langid_sf0.01.parquet
+    (scripts/gen_langid_fixture.py calls the same predict_batch/batch
+    entry points as udfs.score_udf, so both sides are bit-identical by
+    construction), which the DuckDB oracle joins for a full
+    rows+schema+value-hash check. tests/test_models.py guards fixture
+    staleness by recomputing a sample."""
     from .udfs import score_udf
 
     d = _t(spark, sf_dir, "documents")
@@ -1257,6 +1265,21 @@ def q_langid(spark, sf_dir):
         F.col("s.langid_conf").alias("langid_conf"),
         F.col("s.perplexity").alias("perplexity"),
     )
+
+
+# the oracle's fixture is generated from the SAME frozen model code the
+# UDF runs (scripts/gen_langid_fixture.py) on the driver's fixed sf0.01
+# comparison table — float64 values identical by construction
+_LANGID_FIXTURE = str(
+    __import__("pathlib").Path(__file__).resolve().parent.parent
+    / "fixtures"
+    / "langid_sf0.01.parquet"
+)
+
+SQL_LANGID = f"""
+SELECT d.doc_id, d.lang, f.lang_detected, f.langid_conf, f.perplexity
+FROM documents d JOIN read_parquet('{_LANGID_FIXTURE}') f USING (doc_id)
+"""
 
 
 def q_simhash(spark, sf_dir):
@@ -1526,9 +1549,10 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "csv_json_roundtrip": (q_csv_json_roundtrip, SQL_CSV_JSON_ROUNDTRIP),
     # streaming
     "stream_hourly": (q_stream_hourly, SQL_STREAM_HOURLY),
+    # model-backed: oracle via the frozen-model fixture (see q_langid)
+    "langid_score": (q_langid, SQL_LANGID),
     # non-SQL-expressible (rows-only check)
     "minhash_neardup": (q_minhash_neardup, None),
-    "langid_score": (q_langid, None),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_hamming": (q_simhash_hamming, SQL_SIMHASH_HAMMING),
     "multimodal_features": (q_multimodal_features, None),

@@ -1,0 +1,60 @@
+"""Materialize the frozen langid+perplexity model outputs for the
+sf0.01 documents table as a parquet fixture.
+
+Purpose (VERDICT r3 item 6): `langid_score` is model-backed — the
+model itself is not SQL-expressible, but its outputs on the FIXED
+driver-comparison table (sf0.01) are a deterministic function of
+(bmpp/resources/*.npz, documents.parquet), so materializing them once
+lets the DuckDB oracle join the fixture and check rows + schema +
+value hash like any other query. The fixture is regenerated
+deterministically by this script; tests/test_models.py guards
+staleness by recomputing a sample.
+
+Usage: python scripts/gen_langid_fixture.py  (writes
+fixtures/langid_sf0.01.parquet, sorted by doc_id, single file)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bmpp.models.langid import LangIdModel  # noqa: E402
+from bmpp.models.ngram_lm import NgramLM  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT = Path(__file__).resolve().parent.parent / "fixtures" / "langid_sf0.01.parquet"
+
+
+def main() -> None:
+    docs = (
+        pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    m, lm = LangIdModel.get(), NgramLM.get()
+    # the exact same batch entry points udfs.score_udf calls — the
+    # fixture is the UDF's output by construction, not a re-derivation
+    langs, confs = m.predict_batch(docs["text"].tolist())
+    ppl = lm.batch(docs["text"].tolist())
+    table = pa.table(
+        {
+            "doc_id": pa.array(docs["doc_id"], type=pa.int64()),
+            "lang_detected": pa.array(langs, type=pa.string()),
+            "langid_conf": pa.array(confs, type=pa.float64()),
+            "perplexity": pa.array(ppl, type=pa.float64()),
+        }
+    )
+    OUT.parent.mkdir(exist_ok=True)
+    pq.write_table(table, OUT, compression="zstd")
+    print(f"wrote {OUT} rows={table.num_rows}")
+
+
+if __name__ == "__main__":
+    main()

@@ -163,3 +163,40 @@ class TestSimhashUdf:
         ham_ac = bin((got[0] ^ got[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
         assert ham_ab < ham_ac, "near-dup must be hamming-closer than unrelated"
         assert ham_ab <= 16
+
+
+class TestLangidFixture:
+    """fixtures/langid_sf0.01.parquet backs the langid_score DuckDB
+    oracle (scripts/gen_langid_fixture.py). Guard staleness: the
+    stored outputs must equal a fresh recomputation from the frozen
+    model for a deterministic sample of docs."""
+
+    def test_fixture_matches_fresh_model_outputs(self):
+        import pyarrow.parquet as pq
+
+        from bmpp.models.langid import LangIdModel
+        from bmpp.models.ngram_lm import NgramLM
+
+        fix = (
+            pq.read_table("fixtures/langid_sf0.01.parquet")
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        docs = (
+            pq.read_table(
+                "/root/testdata/sf0.01/documents.parquet",
+                columns=["doc_id", "text"],
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert set(fix.index) == set(docs.index), "fixture/table drift"
+        sample = sorted(docs.index)[::7]  # deterministic ~70-doc sample
+        texts = docs.loc[sample, "text"].tolist()
+        langs, confs = LangIdModel.get().predict_batch(texts)
+        ppl = NgramLM.get().batch(texts)
+        for i, doc_id in enumerate(sample):
+            row = fix.loc[doc_id]
+            assert row["lang_detected"] == langs[i]
+            assert row["langid_conf"] == confs[i]  # bit-exact float64
+            assert row["perplexity"] == ppl[i]
