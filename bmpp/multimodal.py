@@ -117,24 +117,39 @@ def extract_image_features(df: DataFrame) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            ids, codecs, ws, hs, mis, fhs, errs = [], [], [], [], [], [], []
             for aid, blob in zip(pdf["asset_id"], pdf["media"]):
                 blob = bytes(blob)
-                codec = sniff_codec(blob)
+                codecs.append(sniff_codec(blob))
+                ids.append(int(aid))
                 try:
                     d = decode_image(blob)
-                    rows.append(
-                        (int(aid), codec, d["width"], d["height"],
-                         d["mean_intensity"], d["feature_hash"], None)
-                    )
+                    ws.append(d["width"])
+                    hs.append(d["height"])
+                    mis.append(d["mean_intensity"])
+                    fhs.append(d["feature_hash"])
+                    errs.append(None)
                 except NotImplementedError as e:
-                    rows.append((int(aid), codec, None, None, None, None, str(e)))
+                    ws.append(None)
+                    hs.append(None)
+                    mis.append(None)
+                    fhs.append(None)
+                    errs.append(str(e))
+            # NULLABLE extension dtypes, not object columns: a mixed
+            # int/None column built row-wise coerces through float64,
+            # silently rounding 64-bit feature hashes to 53-bit floats
+            # (caught by the fixture oracle). Int64 keeps exact ints
+            # alongside missing values.
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "asset_id", "codec", "width", "height",
-                    "mean_intensity", "feature_hash", "decode_error",
-                ],
+                {
+                    "asset_id": pd.array(ids, dtype="int64"),
+                    "codec": codecs,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "mean_intensity": pd.array(mis, dtype="Float64"),
+                    "feature_hash": pd.array(fhs, dtype="Int64"),
+                    "decode_error": errs,
+                }
             )
 
     return df.mapInPandas(op, schema=IMAGE_FEATURES_SCHEMA)

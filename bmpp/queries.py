@@ -1197,18 +1197,42 @@ FROM events GROUP BY 1, 2
 def q_multimodal_features(spark, sf_dir):
     """Binary media columns → feature extraction via mapInPandas
     (decode stubbed per sandbox constraints; schema/batching real —
-    bmpp.multimodal). Synthetic deterministic assets; rows-only check."""
+    bmpp.multimodal). The assets are a pure function of (seed, i), so
+    the expected output is frozen as fixtures/multimodal_300.parquet
+    (scripts/gen_multimodal_fixture.py, same decode functions) — the
+    DuckDB oracle reads it back, and the value-hash check proves the
+    distributed plumbing (binary→Arrow batches, struct metadata,
+    errors-as-columns) reproduces the frozen function exactly."""
     from .multimodal import MEDIA_SCHEMA, extract_image_features, make_synthetic_assets
 
     df = spark.createDataFrame(make_synthetic_assets(300), schema=MEDIA_SCHEMA)
     return extract_image_features(df)
 
 
+_MULTIMODAL_FIXTURE = str(
+    __import__("pathlib").Path(__file__).resolve().parent.parent
+    / "fixtures"
+    / "multimodal_300.parquet"
+)
+
+SQL_MULTIMODAL = f"""
+SELECT asset_id, codec, width, height, mean_intensity, feature_hash,
+       decode_error
+FROM read_parquet('{_MULTIMODAL_FIXTURE}')
+"""
+
+
 
 def q_minhash_neardup(spark, sf_dir):
-    """MinHash-LSH near-dup marking over documents (model-backed UDF —
-    no SQL oracle; exactness vs the pure-Python oracle is covered by
-    tests/test_pipeline_vs_oracle.py on the planted corpus).
+    """MinHash-LSH near-dup marking over documents. Exactness vs the
+    pure-Python oracle on the planted corpus is covered by
+    tests/test_pipeline_vs_oracle.py; the driver's DuckDB oracle joins
+    the frozen band-hash fixture (scripts/gen_minhash_fixture.py —
+    same _bands_of entry point as the UDF) and RE-DERIVES the whole
+    LSH logic in SQL (bucket grouping, >1 filter, min-rep election,
+    per-doc min flag), so the distributed grouping/join pipeline is
+    value-hash-checked end-to-end, with only the band computation
+    carried by the fixture.
 
     Same scale discipline as the production path
     (operators.neardup.near_flags): the exploded (doc_id, band_hash)
@@ -1242,6 +1266,31 @@ def q_minhash_neardup(spark, sf_dir):
         .agg(F.min("rep").alias("near_dup_of"))
     )
     return d.select("doc_id").join(cands, "doc_id", "left")
+
+
+_MINHASH_FIXTURE = str(
+    __import__("pathlib").Path(__file__).resolve().parent.parent
+    / "fixtures"
+    / "minhash_bands_sf0.01.parquet"
+)
+
+SQL_MINHASH_NEARDUP = f"""
+WITH pairs AS (
+  SELECT doc_id, band_hash
+  FROM read_parquet('{_MINHASH_FIXTURE}')
+),
+buckets AS (
+  SELECT band_hash, min(doc_id) AS rep
+  FROM pairs GROUP BY band_hash HAVING count(*) > 1
+),
+cands AS (
+  SELECT p.doc_id, min(b.rep) AS near_dup_of
+  FROM pairs p JOIN buckets b USING (band_hash)
+  WHERE p.doc_id != b.rep GROUP BY p.doc_id
+)
+SELECT d.doc_id, c.near_dup_of
+FROM documents d LEFT JOIN cands c USING (doc_id)
+"""
 
 
 def q_langid(spark, sf_dir):
@@ -1551,9 +1600,10 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "stream_hourly": (q_stream_hourly, SQL_STREAM_HOURLY),
     # model-backed: oracle via the frozen-model fixture (see q_langid)
     "langid_score": (q_langid, SQL_LANGID),
+    # model-backed: oracle re-derives LSH logic over the band fixture
+    "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
     # non-SQL-expressible (rows-only check)
-    "minhash_neardup": (q_minhash_neardup, None),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_hamming": (q_simhash_hamming, SQL_SIMHASH_HAMMING),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
 }

@@ -1,0 +1,66 @@
+"""Materialize MinHash LSH band hashes for the sf0.01 documents table
+as a parquet fixture backing the `minhash_neardup` DuckDB oracle.
+
+Unlike the langid fixture (a passthrough of model outputs), only the
+BAND COMPUTATION comes from the fixture here: the oracle SQL
+re-derives the entire LSH logic — bucket grouping, >1-member filter,
+min-rep election, per-doc min flag — independently in DuckDB, so the
+check exercises the distributed grouping/join pipeline, not just the
+UDF plumbing. Band hashes are a deterministic function of the frozen
+permutation constants in bmpp/models/minhash.py (same _bands_of entry
+point as udfs.make_bands_udf), so both sides agree by construction.
+
+Usage: python scripts/gen_minhash_fixture.py  (writes
+fixtures/minhash_bands_sf0.01.parquet: (doc_id, band_hash) exploded
+pairs, sorted, one row per band; docs too short for a signature emit
+no rows — matching explode() semantics)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bmpp.udfs import _bands_of  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT = (
+    Path(__file__).resolve().parent.parent
+    / "fixtures"
+    / "minhash_bands_sf0.01.parquet"
+)
+N_PERMS, N_BANDS, K = 64, 8, 5  # q_minhash_neardup's parameters
+
+
+def main() -> None:
+    docs = (
+        pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id", kind="mergesort")
+    )
+    ids, bands = [], []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        bh = _bands_of(text, N_PERMS, N_BANDS, K)
+        if bh is None:
+            continue
+        for b in bh:
+            ids.append(int(doc_id))
+            bands.append(int(b))
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "band_hash": pa.array(bands, type=pa.int64()),
+        }
+    )
+    OUT.parent.mkdir(exist_ok=True)
+    pq.write_table(table, OUT, compression="zstd")
+    print(f"wrote {OUT} rows={table.num_rows}")
+
+
+if __name__ == "__main__":
+    main()

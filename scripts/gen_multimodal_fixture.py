@@ -1,0 +1,69 @@
+"""Materialize the expected multimodal feature-extraction output as a
+parquet fixture backing the `multimodal_features` DuckDB oracle.
+
+q_multimodal_features runs over make_synthetic_assets(300) — a pure
+function of (seed=42, i) — so its expected output is a deterministic
+function of frozen code: this script computes it in plain Python
+(same sniff_codec/decode_image functions the Spark mapInPandas op
+calls) and the oracle reads the fixture back. What the driver's
+value-hash check then proves is that the distributed plumbing —
+binary columns through Arrow batches, struct metadata, errors routed
+to a column instead of task failures — reproduces the frozen
+function's rows exactly.
+
+Usage: python scripts/gen_multimodal_fixture.py  (writes
+fixtures/multimodal_300.parquet)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bmpp.multimodal import (  # noqa: E402
+    decode_image,
+    make_synthetic_assets,
+    sniff_codec,
+)
+
+OUT = Path(__file__).resolve().parent.parent / "fixtures" / "multimodal_300.parquet"
+N_ASSETS = 300  # q_multimodal_features's parameter
+
+
+def main() -> None:
+    rows = []
+    for a in make_synthetic_assets(N_ASSETS):
+        blob = bytes(a["media"])
+        codec = sniff_codec(blob)
+        try:
+            d = decode_image(blob)
+            rows.append(
+                (a["asset_id"], codec, d["width"], d["height"],
+                 d["mean_intensity"], d["feature_hash"], None)
+            )
+        except NotImplementedError as e:
+            rows.append((a["asset_id"], codec, None, None, None, None, str(e)))
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "asset_id": pa.array(cols[0], type=pa.int64()),
+            "codec": pa.array(cols[1], type=pa.string()),
+            "width": pa.array(cols[2], type=pa.int32()),
+            "height": pa.array(cols[3], type=pa.int32()),
+            "mean_intensity": pa.array(cols[4], type=pa.float64()),
+            "feature_hash": pa.array(cols[5], type=pa.int64()),
+            "decode_error": pa.array(cols[6], type=pa.string()),
+        }
+    )
+    OUT.parent.mkdir(exist_ok=True)
+    pq.write_table(table, OUT, compression="zstd")
+    print(f"wrote {OUT} rows={table.num_rows}")
+
+
+if __name__ == "__main__":
+    main()

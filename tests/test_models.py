@@ -200,3 +200,37 @@ class TestLangidFixture:
             assert row["lang_detected"] == langs[i]
             assert row["langid_conf"] == confs[i]  # bit-exact float64
             assert row["perplexity"] == ppl[i]
+
+
+class TestMinhashFixture:
+    """fixtures/minhash_bands_sf0.01.parquet backs the minhash_neardup
+    DuckDB oracle (scripts/gen_minhash_fixture.py). Staleness guard:
+    stored band hashes must equal a fresh recomputation for a
+    deterministic sample."""
+
+    def test_fixture_matches_fresh_bands(self):
+        import pyarrow.parquet as pq
+
+        from bmpp.udfs import _bands_of
+
+        fix = pq.read_table("fixtures/minhash_bands_sf0.01.parquet").to_pandas()
+        by_doc = {
+            int(d): g["band_hash"].tolist()
+            for d, g in fix.groupby("doc_id", sort=True)
+        }
+        docs = (
+            pq.read_table(
+                "/root/testdata/sf0.01/documents.parquet",
+                columns=["doc_id", "text"],
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        sample = sorted(docs.index)[::7]
+        for doc_id in sample:
+            want = _bands_of(docs.loc[doc_id, "text"], 64, 8, 5)
+            got = by_doc.get(int(doc_id))
+            if want is None:
+                assert got is None, f"doc {doc_id}: fixture has rows for short doc"
+            else:
+                assert got == list(want), f"doc {doc_id}: band drift"

@@ -91,3 +91,35 @@ def test_extract_features_deterministic(spark, assets_df):
     b = {r["asset_id"]: r["feature_hash"]
          for r in extract_image_features(assets_df.repartition(7)).collect()}
     assert a == b
+
+
+def test_feature_hash_survives_mixed_null_batches_exactly(spark):
+    """Regression (caught by the fixture oracle): a mixed int/None
+    feature_hash column built row-wise coerces through float64 inside
+    the mapInPandas op, silently rounding 64-bit hashes to 53-bit
+    floats. The op must emit nullable Int64 so every hash round-trips
+    bit-exactly even when the same Arrow batch contains decode
+    failures (None rows)."""
+    from bmpp.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        extract_image_features,
+        make_synthetic_assets,
+    )
+
+    assets = make_synthetic_assets(60)  # mix of png (decodes) and wav (errors)
+    df = spark.createDataFrame(assets, schema=MEDIA_SCHEMA)
+    got = {r["asset_id"]: r["feature_hash"]
+           for r in extract_image_features(df).collect()}
+    saw_null = saw_big = False
+    for a in assets:
+        try:
+            want = decode_image(bytes(a["media"]))["feature_hash"]
+        except NotImplementedError:
+            want = None
+        assert got[a["asset_id"]] == want, (
+            f"asset {a['asset_id']}: {got[a['asset_id']]} != {want}"
+        )
+        saw_null |= want is None
+        saw_big |= want is not None and abs(want) > 2**53
+    assert saw_null and saw_big, "test corpus no longer covers the failure mode"
