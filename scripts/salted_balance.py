@@ -1,0 +1,97 @@
+"""Salted-join balance at production scale (VERDICT r3 item 8).
+
+tests/test_aqe_skew.py proves the salted flag join bounds the max
+partition share on a 20k-row corpus; this one-off measures the SAME
+quantity on the 4M-row scale-evidence corpus (the one
+scripts/scale_evidence.py benchmarks) so the 100×-scale claim rests on
+a measurement at the largest corpus this sandbox holds, not an
+extrapolation. Writes BENCH/salted_balance_4m.json.
+
+Protocol: production confs (default 128 MB splits, AQE on), local[32],
+shuffle partitions 64 — the salted join's balance must hold when the
+planted mega group (~10% of rows on one content hash) carries ~400k
+rows. Reported: per-partition row shares of the dup_flags output for
+the salted (shipped) join vs the unsalted legacy shape.
+
+Run: python scripts/salted_balance.py [rows]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bmpp import rules  # noqa: E402
+from bmpp.operators.dedup import dup_flags, dup_groups, with_keys  # noqa: E402
+from bmpp.session import get_spark  # noqa: E402
+
+ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+CORPUS = Path(f"/tmp/bmpp_scale_corpus_{ROWS}")
+
+
+def shares(df) -> tuple[int, float, int]:
+    by_part = (
+        df.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in by_part)
+    return total, max(r["count"] for r in by_part) / total, len(by_part)
+
+
+def main() -> None:
+    if not (CORPUS / "_SUCCESS").exists():
+        raise SystemExit(
+            f"{CORPUS} missing — run scripts/scale_evidence.py first"
+        )
+    extra = {"spark.sql.adaptive.enabled": "true"}
+    import os
+
+    if os.path.isdir("/dev/shm"):
+        extra["spark.local.dir"] = "/dev/shm/bmpp_balance"
+    spark = get_spark(
+        app="salted-balance", cores=32, shuffle_partitions=64, extra=extra
+    )
+    slim = with_keys(spark.read.parquet(str(CORPUS))).select(
+        "content_sha256", "doc_key"
+    )
+
+    t0 = time.time()
+    total, salted_share, nparts = shares(dup_flags(slim, rules.PipelineConfig()))
+    salted_sec = round(time.time() - t0, 1)
+
+    groups = dup_groups(slim, "content_sha256", "doc_key", 64)
+    t0 = time.time()
+    _, legacy_share, _ = shares(
+        slim.join(groups, "content_sha256").select("doc_key")
+    )
+    legacy_sec = round(time.time() - t0, 1)
+
+    out = {
+        "rows": ROWS,
+        "flag_rows": total,
+        "partitions": nparts,
+        "salted_max_share": round(salted_share, 4),
+        "legacy_max_share": round(legacy_share, 4),
+        "salted_wall_sec": salted_sec,
+        "legacy_wall_sec": legacy_sec,
+        "join_salt": 16,
+        "protocol": "prod-confs-128m-splits-aqe-local32-sp64",
+    }
+    (REPO / "BENCH" / "salted_balance_4m.json").write_text(
+        json.dumps(out, indent=1)
+    )
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
