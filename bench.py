@@ -108,7 +108,7 @@ def main() -> None:
     for fname, key in (
         ("scaling.json", "scaling_efficiency_1to4"),
         ("scale_sf1.json", "scale_up_rows_per_sec"),
-        ("catalog_sf1.json", None),
+        ("catalog_sf1.json", "catalog_scale_within_budget"),
     ):
         p = bench_dir / fname
         if not p.exists():
@@ -129,9 +129,16 @@ def main() -> None:
             ratio = blob.get("production_vs_sf01_ratio")
             if ratio is not None:
                 out["scale_up_vs_sf01_ratio"] = ratio
+        elif fname == "catalog_sf1.json":
+            wb = blob.get("all_within_budget")
+            if wb is not None:
+                out[key] = wb
     if evidence:
         out["evidence_files"] = sorted(evidence.values())
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception:
+        pass  # a teardown hiccup must not lose the bench result
     # FINAL printed line = the one compact JSON object (driver contract)
     print(json.dumps(out))
 

@@ -89,9 +89,12 @@ def salted_join(
     ``how`` is restricted to probe-preserving joins: with 'right' or
     'full', each UNMATCHED build row would survive once per salt
     replica, silently multiplying output rows."""
-    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
-               "leftsemi", "left_anti", "leftanti"}
-    if how not in allowed:
+    # normalize like Spark's JoinType.apply (case/underscore-insensitive)
+    # so every alias of a probe-preserving join passes: inner, left/
+    # leftouter, semi/leftsemi, anti/leftanti
+    allowed = {"inner", "left", "leftouter", "semi", "leftsemi",
+               "anti", "leftanti"}
+    if how.lower().replace("_", "") not in allowed:
         raise ValueError(
             f"salted_join: how={how!r} unsupported — build-side rows are "
             f"replicated {salt}x, so only probe-preserving joins "

@@ -52,7 +52,15 @@ def _eager_persist(key: str, df: DataFrame) -> DataFrame:
             if (sl.useMemory or sl.useDisk) and old.sameSemantics(df):
                 return old
             _EAGER_CACHE.pop(key).unpersist()
-        except Exception:  # old session stopped: just drop the handle
+        except Exception:
+            # old session stopped (or otherwise unreachable): try to
+            # release before dropping the handle — if the session IS
+            # alive and only sameSemantics failed, skipping unpersist
+            # here would leak a cache copy nothing can ever free
+            try:
+                old.unpersist()
+            except Exception:
+                pass
             _EAGER_CACHE.pop(key, None)
     df = df.persist()
     df.count()
@@ -1102,8 +1110,18 @@ def q_csv_json_roundtrip(spark, sf_dir):
     # the returned DataFrame reads the sinks lazily, so a later
     # invocation overwriting the same files would yank them out from
     # under a still-live earlier plan — the counter makes each plan's
-    # files immutable for the life of the process
-    base = Path(_roundtrip_dir()) / f"{Path(sf_dir).name}_{next(_ROUNDTRIP_SEQ)}"
+    # files immutable while live. Subdirs older than the last 8 are
+    # reaped so a long-lived session doesn't accrete copies in /tmp
+    # (a plan THAT stale failing loudly on re-collect beats silent
+    # unbounded growth).
+    import shutil
+
+    root = Path(_roundtrip_dir())
+    seq = next(_ROUNDTRIP_SEQ)
+    for old in root.iterdir():
+        if old.is_dir() and int(old.name.rsplit("_", 1)[-1]) <= seq - 8:
+            shutil.rmtree(old, ignore_errors=True)
+    base = root / f"{Path(sf_dir).name}_{seq}"
     jdir, tdir = str(base / "json"), str(base / "tsv")
     d.write.mode("overwrite").json(jdir)
     d.write.mode("overwrite").option("sep", "\t").option("header", "true").csv(tdir)
@@ -1191,7 +1209,8 @@ FROM events GROUP BY 1, 2
 """
 
 
-# ---- non-SQL-expressible ops (rows-only driver check) ----
+# ---- model-backed / engine-specific ops (oracles via frozen
+# fixtures where deterministic; approx_aggs stays rows-only) ----
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1241,7 +1260,7 @@ def q_minhash_neardup(spark, sf_dir):
     two-phase shape (a mega band fans over the salt reducers), and the
     flag join is salt-replicated — AQE skew-split provably cannot fire
     on this agg-fed join shape (tests/test_aqe_skew.py)."""
-    from .operators.dedup import salted_join
+    from .operators.dedup import dup_groups, salted_join
     from .udfs import make_bands_udf
 
     d = _t(spark, sf_dir, "documents")
@@ -1250,17 +1269,11 @@ def q_minhash_neardup(spark, sf_dir):
         "minhash_neardup_pairs",
         d.select("doc_id", F.explode(bands_udf(F.col("text"))).alias("band_hash")),
     )
-    salt = F.pmod(F.xxhash64("doc_id"), F.lit(16))
-    partial = pairs.groupBy("band_hash", salt.alias("_salt")).agg(
-        F.min("doc_id").alias("_cand"), F.count(F.lit(1)).alias("_cnt")
-    )
-    buckets = (
-        partial.groupBy("band_hash")
-        .agg(F.min("_cand").alias("rep"), F.sum("_cnt").alias("n"))
-        .filter(F.col("n") > 1)
+    buckets = dup_groups(pairs, "band_hash", "doc_id", 16).select(
+        "band_hash", F.col("_rep").alias("rep")
     )
     cands = (
-        salted_join(pairs, buckets.select("band_hash", "rep"), "band_hash", "doc_id")
+        salted_join(pairs, buckets, "band_hash", "doc_id")
         .filter(F.col("doc_id") != F.col("rep"))
         .groupBy("doc_id")
         .agg(F.min("rep").alias("near_dup_of"))
@@ -1602,7 +1615,8 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "langid_score": (q_langid, SQL_LANGID),
     # model-backed: oracle re-derives LSH logic over the band fixture
     "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
-    # non-SQL-expressible (rows-only check)
+    # full DuckDB oracles (simhash spec is dialect-portable;
+    # multimodal output frozen as a fixture)
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_hamming": (q_simhash_hamming, SQL_SIMHASH_HAMMING),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),

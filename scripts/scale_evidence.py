@@ -157,7 +157,9 @@ def main() -> None:
     ref = None
     for cand in sorted(REPO.glob("BENCH_r*.json"), reverse=True):
         d = json.loads(cand.read_text())
-        ref = d.get("pipeline_rows_per_sec") or d.get("parsed", {}).get(
+        # drivers record "parsed": null when the bench line was
+        # uncapturable (round 3) — treat as absent, not a dict
+        ref = d.get("pipeline_rows_per_sec") or (d.get("parsed") or {}).get(
             "pipeline_rows_per_sec"
         )
         if ref:

@@ -57,3 +57,7 @@ def test_salted_join_rejects_build_preserving_how(spark):
     for how in ("right", "full", "outer", "cross"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(p, b, "h", "k", how=how)
+    # every probe-preserving Spark alias must still pass (JoinType
+    # normalizes case and underscores)
+    for how in ("semi", "anti", "LEFT", "left_semi", "leftanti", "Inner"):
+        salted_join(p, b, "h", "k", how=how)
