@@ -1,0 +1,72 @@
+"""Bucketed managed tables — shuffle-free co-located equi-joins.
+
+The Iceberg ``bucket(N, key)`` partition-transform analog (the
+production design's table layout; see bmpp/io.py for the statement
+surface): rows are hash-clustered into a fixed number of buckets at
+WRITE time, so a later equi-join or aggregation on the bucket key
+reads both sides already co-partitioned — no Exchange on either join
+input. At 100 TB this converts the nightly fact-to-fact join from the
+cluster's largest shuffle (rewriting both tables over the network)
+into a map-side zip of matching buckets; one-off cost is paid once at
+ingest, amortized over every downstream join.
+
+Spark specifics this module pins down (tests/test_bucketed.py):
+- both sides bucketed with the SAME bucket count on the join keys →
+  SortMergeJoin with zero Exchange operators;
+- ``sortBy`` at write time lets the per-bucket sort be served from
+  file order (when one file per bucket);
+- bucket pruning: an equality filter on the bucket key scans 1/N of
+  the files (Spark's bucket pruning, visible as "SelectedBucketsCount"
+  in the scan node).
+
+Reference parity: the WDL's chr_size bin-packing + per-interval
+scatter (bamMergePreprocessing.wdl:120-170) is the same idea — fix
+the partitioning once, then every downstream task reads only its
+slice. Cited in SURVEY.md §2.2 joins/partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str] | str,
+    n_buckets: int = 8,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Write ``df`` as a bucketed managed (or, with ``path``, external)
+    parquet table registered in the session catalog. ``keys`` become
+    the bucket columns; joins/aggs on them need no exchange when the
+    other side shares the bucket count."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = df.write.mode("overwrite").format("parquet")
+    if path:
+        w = w.option("path", path)
+    w = w.bucketBy(n_buckets, keys[0], *keys[1:])
+    if sort:
+        w = w.sortBy(keys[0], *keys[1:])
+    w.saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join two bucketed tables. When both were written with
+    ``write_bucketed`` on the join keys with equal bucket counts, the
+    physical plan contains no Exchange on either side (guarded by
+    tests/test_bucketed.py) — the join cost is a per-bucket merge."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def drop_bucketed(spark: SparkSession, table: str) -> None:
+    """Drop a table registered by write_bucketed (external files are
+    left to the caller's tempdir lifecycle)."""
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")

@@ -14,6 +14,7 @@ compares sorted-column value hashes vs DuckDB):
 
 from __future__ import annotations
 
+import itertools as _itertools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -1068,6 +1069,49 @@ def q_set_ops(spark, sf_dir):
     return both.unionByName(cust_only)
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Shuffle-free co-located join surface (operators.bucketed —
+    Iceberg bucket(N, key) analog): orders and lineitem are written as
+    bucketed tables on their order key, then joined and aggregated.
+    With equal bucket counts the join inputs need no Exchange
+    (plan-guarded in tests/test_bucketed.py with broadcast disabled);
+    the oracle checks the join+agg values. Table/file lifecycle uses
+    the same per-invocation counter + last-K reaping as the roundtrip
+    sinks (an old lazy plan's tables stay live until reaped)."""
+    from pathlib import Path
+
+    from .operators.bucketed import colocated_join, drop_bucketed, write_bucketed
+
+    seq = next(_BUCKETED_SEQ)
+    while len(_BUCKETED_TABLES) > 6:  # reap oldest registered pair
+        drop_bucketed(spark, _BUCKETED_TABLES.pop(0))
+    root = Path(_roundtrip_dir()) / f"bkt_{Path(sf_dir).name}_{seq}"
+    to, tl = f"bmpp_bkt_orders_{seq}", f"bmpp_bkt_lineitem_{seq}"
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, to, "o_orderkey", 8, path=str(root / "orders"))
+    write_bucketed(li, tl, "l_orderkey", 8, path=str(root / "lineitem"))
+    _BUCKETED_TABLES.extend([to, tl])
+    j = colocated_join(
+        spark, to, tl, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+_BUCKETED_SEQ = _itertools.count()
+_BUCKETED_TABLES: list[str] = []
+
+SQL_BUCKETED_JOIN = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 SQL_SET_OPS = """
 SELECT nationkey, 'both' AS side FROM (
   SELECT c_nationkey AS nationkey FROM customer
@@ -1078,8 +1122,6 @@ SELECT nationkey, 'customer_only' AS side FROM (
   EXCEPT SELECT s_nationkey FROM supplier)
 """
 
-
-import itertools as _itertools
 
 _ROUNDTRIP_DIR: list = []
 _ROUNDTRIP_SEQ = _itertools.count()
@@ -1607,6 +1649,7 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "cube_rollup": (q_cube_rollup, SQL_CUBE_ROLLUP),
     "set_ops": (q_set_ops, SQL_SET_OPS),
+    "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     # sources/sinks
     "csv_json_roundtrip": (q_csv_json_roundtrip, SQL_CSV_JSON_ROUNDTRIP),
     # streaming

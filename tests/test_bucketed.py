@@ -1,0 +1,111 @@
+"""Bucketed co-located joins (operators.bucketed): the 100 TB story is
+that hash-clustering both fact tables at write time deletes the join
+shuffle. These tests pin the three properties that make that true:
+no Exchange on either join input, result equivalence with a plain
+join, and bucket pruning on key-equality filters."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bmpp.operators.bucketed import colocated_join, drop_bucketed, write_bucketed
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bkt")
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(o, "t_bkt_orders", "o_orderkey", 8, path=str(root / "o"))
+    write_bucketed(li, "t_bkt_lineitem", "l_orderkey", 8, path=str(root / "l"))
+    yield "t_bkt_orders", "t_bkt_lineitem", o, li
+    drop_bucketed(spark, "t_bkt_orders")
+    drop_bucketed(spark, "t_bkt_lineitem")
+
+
+def test_join_has_no_exchange_on_either_side(spark, bucketed_tables):
+    """With broadcast disabled (to force the merge-join path a
+    fact-to-fact join takes at scale), equal bucket counts on the join
+    keys must yield a SortMergeJoin with ZERO Exchange operators —
+    the property that deletes the cluster's largest shuffle."""
+    to, tl, _, _ = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(
+            spark, to, tl, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, (
+            "bucketed join shuffled — co-location lost:\n" + plan[:1500]
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_join_equals_plain_join(spark, bucketed_tables):
+    to, tl, o, li = bucketed_tables
+    got = sorted(
+        tuple(r)
+        for r in colocated_join(
+            spark, to, tl, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .select("o_orderkey", "o_orderpriority", "l_quantity")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_orderkey", "o_orderpriority", "l_quantity")
+        .collect()
+    )
+    assert got == want and len(got) > 100
+
+
+def test_bucket_pruning_on_key_equality(spark, bucketed_tables):
+    """A key-equality filter must scan 1 of the 8 buckets (Spark's
+    bucket pruning) — the read-side payoff of the same layout.
+    autoBucketedScan must be pinned off for a filter-only query:
+    Spark's planner otherwise decides bucketing "doesn't help" (no
+    join/agg wants the distribution) and reads the files unbucketed,
+    silently forfeiting pruning."""
+    to, _, o, _ = bucketed_tables
+    some_key = o.limit(1).collect()[0]["o_orderkey"]
+    conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try:
+        q = spark.table(to).filter(F.col("o_orderkey") == some_key)
+        plan = _plan(q)
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:1200]
+        assert q.count() >= 1
+    finally:
+        spark.conf.set(conf, old)
+
+
+def test_bucketed_agg_has_no_exchange(spark, bucketed_tables):
+    """groupBy on the bucket key reuses the clustered layout: no
+    Exchange before the aggregate (partial+final collapse into the
+    bucketed scan's distribution)."""
+    _, tl, _, _ = bucketed_tables
+    agg = (
+        spark.table(tl)
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    plan = _plan(agg)
+    assert "Exchange" not in plan, plan[:1500]

@@ -106,3 +106,71 @@ def test_chunk_bucket_cap_off_by_default_and_binds(spark):
         for r in simhash_hamming_flags(df, chunk_bucket_cap=20).collect()
     }
     assert wide == uncapped
+
+
+def test_equivalence_to_bruteforce_on_random_corpora(spark):
+    """Property: the chunk-LSH + integer-fingerprint path must equal a
+    brute-force O(n²) reference (pure Python over the same md5-vote
+    fingerprints) on randomized corpora — including template families
+    engineered to land within/near the hamming-3 boundary. Guards the
+    hi/lo bit packing, chunk extraction, and candidate dedup, which a
+    planted-pair test alone cannot sweep."""
+    import hashlib as _hl
+    import random
+
+    def fingerprint(t):
+        t = t.lower()
+        n = len(t) - 3
+        if n < 1:
+            return 0
+        votes = [0] * 64
+        for i in range(n):
+            h = _hl.md5(t[i : i + 4].encode()).hexdigest()[:16]
+            for d in range(16):
+                v = int(h[d], 16)
+                for k in range(4):
+                    votes[d * 4 + k] += (v >> k) & 1
+        return int(
+            "".join("1" if 2 * v > n else "0" for v in votes), 2
+        )
+
+    def brute(docs):
+        fps = {i: fingerprint(t) for i, t in docs}
+        out = {}
+        for i, _ in docs:
+            best = None
+            for j, _ in docs:
+                if j >= i or fps[j] == 0 or fps[i] == 0:
+                    continue
+                if bin(fps[i] ^ fps[j]).count("1") <= 3:
+                    best = j if best is None else min(best, j)
+            out[i] = best
+        return out
+
+    rng = random.Random(20260817)
+    words = ["alpha", "beta", "gamma", "delta", "import", "return",
+             "select", "where", "class", "lambda", "yield", "async"]
+    for trial in range(3):
+        docs = []
+        base_texts = [
+            " ".join(rng.choices(words, k=rng.randint(12, 40)))
+            for _ in range(4)
+        ]
+        for i in range(30):
+            r = rng.random()
+            if r < 0.5:  # template family: tiny edits of a shared base
+                t = base_texts[rng.randrange(4)]
+                if rng.random() < 0.7:
+                    pos = rng.randrange(max(len(t) - 5, 1))
+                    t = t[:pos] + rng.choice("xyz_") + t[pos + 1:]
+            elif r < 0.85:  # unrelated doc
+                t = " ".join(rng.choices(words, k=rng.randint(5, 25)))
+            else:  # degenerate short doc (all-zero fingerprint)
+                t = rng.choice(["", "ab", "x"])
+            docs.append((i, t))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["near_dup_of"]
+            for r in simhash_hamming_flags(df).collect()
+        }
+        assert got == brute(docs), f"trial {trial} diverged"
