@@ -1082,16 +1082,21 @@ def q_bucketed_join(spark, sf_dir):
 
     from .operators.bucketed import colocated_join, drop_bucketed, write_bucketed
 
+    import shutil
+
     seq = next(_BUCKETED_SEQ)
-    while len(_BUCKETED_TABLES) > 6:  # reap oldest registered pair
-        drop_bucketed(spark, _BUCKETED_TABLES.pop(0))
+    while len(_BUCKETED_TABLES) > 3:  # reap oldest (tables, files) set
+        old_to, old_tl, old_dir = _BUCKETED_TABLES.pop(0)
+        drop_bucketed(spark, old_to)
+        drop_bucketed(spark, old_tl)
+        shutil.rmtree(old_dir, ignore_errors=True)
     root = Path(_roundtrip_dir()) / f"bkt_{Path(sf_dir).name}_{seq}"
     to, tl = f"bmpp_bkt_orders_{seq}", f"bmpp_bkt_lineitem_{seq}"
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     write_bucketed(o, to, "o_orderkey", 8, path=str(root / "orders"))
     write_bucketed(li, tl, "l_orderkey", 8, path=str(root / "lineitem"))
-    _BUCKETED_TABLES.extend([to, tl])
+    _BUCKETED_TABLES.append((to, tl, str(root)))
     j = colocated_join(
         spark, to, tl, F.col("o_orderkey") == F.col("l_orderkey")
     )
@@ -1102,7 +1107,7 @@ def q_bucketed_join(spark, sf_dir):
 
 
 _BUCKETED_SEQ = _itertools.count()
-_BUCKETED_TABLES: list[str] = []
+_BUCKETED_TABLES: list[tuple[str, str, str]] = []
 
 SQL_BUCKETED_JOIN = """
 SELECT o_orderpriority, count(*) AS n_items,
@@ -1160,10 +1165,17 @@ def q_csv_json_roundtrip(spark, sf_dir):
 
     root = Path(_roundtrip_dir())
     seq = next(_ROUNDTRIP_SEQ)
+    # reap ONLY this query's own rt_* dirs: the root is shared with
+    # the bucketed-join sinks, whose lifecycle runs on a different
+    # counter (comparing seqs across counters would delete live files)
     for old in root.iterdir():
-        if old.is_dir() and int(old.name.rsplit("_", 1)[-1]) <= seq - 8:
+        if (
+            old.is_dir()
+            and old.name.startswith("rt_")
+            and int(old.name.rsplit("_", 1)[-1]) <= seq - 8
+        ):
             shutil.rmtree(old, ignore_errors=True)
-    base = root / f"{Path(sf_dir).name}_{seq}"
+    base = root / f"rt_{Path(sf_dir).name}_{seq}"
     jdir, tdir = str(base / "json"), str(base / "tsv")
     d.write.mode("overwrite").json(jdir)
     d.write.mode("overwrite").option("sep", "\t").option("header", "true").csv(tdir)
