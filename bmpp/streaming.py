@@ -338,3 +338,74 @@ def stream_hourly_counts(spark: SparkSession, events_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+NEARDUP_STREAM_SCHEMA = "doc_key string, near_dup_of string"
+
+
+def stream_neardup_flags(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    cfg: rules.PipelineConfig | None = None,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Streaming MinHash near-dup flagging — the incremental form of
+    operators.neardup.near_flags for continuous corpus ingestion: each
+    arriving doc is flagged against the smallest doc_key seen SO FAR
+    in any LSH band bucket it lands in.
+
+    Semantics (first-seen-wins, the streaming dedup contract):
+    - state per band bucket is just (min doc_key so far, member
+      count) — a few dozen bytes per OCCUPIED bucket, so state is
+      bounded by the number of distinct band hashes, not the corpus;
+    - a doc arriving after its bucket rep is flagged (doc, rep);
+      a doc SMALLER than the current rep becomes the new rep and is
+      not flagged — earlier docs are NOT retro-flagged (batch
+      near_flags remains the ground truth for retroactive dedup, the
+      same division of labor as stream_exact_dedup);
+    - when all data arrives in ONE micro-batch the emitted flags,
+      min-reduced per doc (``groupBy(doc_key).agg(min(near_dup_of))``,
+      a trivial downstream batch agg), equal the batch near_flags
+      output for docs whose rep shares a band (tested).
+
+    Output rows are per-(doc, band) candidates in update mode; the
+    per-doc min is left to the consumer so the stream stays a single
+    stateful operator (chaining a second stateful agg would constrain
+    output modes for no modeling gain)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .udfs import make_bands_udf
+
+    cfg = cfg or rules.PipelineConfig()
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = with_keys(reader.parquet(input_dir))
+    bands_udf = make_bands_udf(cfg.minhash_perms, cfg.lsh_bands, cfg.shingle_k)
+    pairs = src.select(
+        "doc_key", F.explode(bands_udf(F.col("content"))).alias("band_hash")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        rep, n = state.get if state.exists else (None, 0)
+        docs = sorted({d for pdf in pdfs for d in pdf["doc_key"]})
+        if not docs:
+            return
+        new_rep = docs[0] if rep is None else min(rep, docs[0])
+        state.update((new_rep, n + len(docs)))
+        flagged = [d for d in docs if d != new_rep]
+        if (n + len(docs)) > 1 and flagged:
+            yield pd.DataFrame(
+                {"doc_key": flagged, "near_dup_of": [new_rep] * len(flagged)}
+            )
+
+    plan = pairs.groupBy("band_hash").applyInPandasWithState(
+        update,
+        NEARDUP_STREAM_SCHEMA,
+        "rep string, n long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(plan, "update")

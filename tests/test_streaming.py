@@ -375,3 +375,99 @@ def test_stream_event_ttl_late_batch_does_not_regress_timeout(
     assert final["dups_total"] == 5, (
         "wave-4 duplicates not recognized — state was lost"
     )
+
+
+def test_stream_neardup_single_batch_equals_batch_near_flags(
+    spark, corpus_dir
+):
+    """All data in one micro-batch ⇒ the stream's min-reduced flags
+    must equal the batch near_flags output (empty exact-dup exclusion
+    on both sides), proving the band-keyed stateful op computes the
+    same bucket/rep election as the batch shape."""
+    from pyspark.sql import functions as F
+
+    from bmpp.operators.neardup import near_flags
+    from bmpp.streaming import stream_neardup_flags, with_keys
+    from bmpp.udfs import make_bands_udf
+
+    cfg = rules.PipelineConfig()
+    src = spark.read.parquet(corpus_dir)
+    got = {
+        (r["doc_key"], r["near_dup_of"])
+        for r in stream_neardup_flags(
+            spark, corpus_dir, src.schema, cfg, max_files_per_trigger=None
+        )
+        .groupBy("doc_key")
+        .agg(F.min("near_dup_of").alias("near_dup_of"))
+        .collect()
+    }
+    bands_udf = make_bands_udf(cfg.minhash_perms, cfg.lsh_bands, cfg.shingle_k)
+    bands_slim = with_keys(src).select(
+        "doc_key", bands_udf(F.col("content")).alias("minhash_bands")
+    )
+    empty_dups = spark.createDataFrame([], "doc_key string")
+    want = {
+        (r["doc_key"], r["near_dup_of"])
+        for r in near_flags(bands_slim, empty_dups, cfg).collect()
+    }
+    assert len(want) > 20, "corpus no longer plants near-dups"
+    assert got == want
+
+
+def test_stream_neardup_first_seen_wins_across_batches(
+    spark, tmp_path_factory
+):
+    """Multi-batch contract: a later doc is flagged against the
+    earlier bucket rep; an earlier doc is never retro-flagged when a
+    smaller key arrives later."""
+    import shutil
+
+    from bmpp.streaming import stream_neardup_flags
+
+    text = (
+        "def handler(request, ctx):\n"
+        "    payload = request.json()\n"
+        "    return process(payload, ctx)\n"
+    ) * 5
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string")
+    stage = tmp_path_factory.mktemp("nd_stage")
+    stream_dir = tmp_path_factory.mktemp("nd_stream")
+    waves = [
+        # wave 1: rep candidate "m..." key
+        [("mrepo", "a.py", "c0", "python", text)],
+        # wave 2: larger key, near-identical → flagged against wave 1
+        [("zrepo", "b.py", "c0", "python", text.replace("ctx", "ctxt"))],
+        # wave 3: SMALLER key than the rep → becomes new rep, not
+        # flagged; wave-1 doc is NOT retro-flagged
+        [("arepo", "c.py", "c0", "python", text)],
+        # wave 4: arrives after the smaller rep → flagged against it
+        [("wrepo", "d.py", "c0", "python", text.replace("json", "jsom"))],
+    ]
+    for i, rows in enumerate(waves):
+        d = stage / f"w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d))
+        shutil.copy(
+            sorted(d.glob("part-*.parquet"))[0],
+            stream_dir / f"wave{i}.parquet",
+        )
+
+    out = stream_neardup_flags(
+        spark, str(stream_dir),
+        spark.read.parquet(str(stage / "w0")).schema,
+    )
+    flags = {
+        r["doc_key"]: r["near_dup_of"]
+        for r in out.groupBy("doc_key")
+        .agg(__import__("pyspark").sql.functions.min("near_dup_of")
+             .alias("near_dup_of"))
+        .collect()
+    }
+    m, z, a, w = ("mrepo/a.py@c0", "zrepo/b.py@c0",
+                  "arepo/c.py@c0", "wrepo/d.py@c0")
+    assert flags.get(z) == m, f"wave-2 doc not flagged against rep: {flags}"
+    assert m not in flags, "earlier rep was retro-flagged"
+    assert a not in flags, "new smaller rep must not be flagged"
+    assert flags.get(w) == a, f"wave-4 doc should flag against new rep: {flags}"
