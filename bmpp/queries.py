@@ -1237,6 +1237,50 @@ def q_ivf_ann_topk(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank")
 
 
+def q_stream_neardup(spark, sf_dir):
+    """Streaming MinHash near-dup (streaming.stream_neardup_flags) as
+    a catalog query WITH a full DuckDB oracle: when all documents
+    arrive in ONE micro-batch, first-seen-wins flagging min-reduced
+    per doc is exactly the batch LSH min-rep election, so the oracle
+    is SQL_MINHASH_NEARDUP verbatim (LSH re-derived in SQL over the
+    frozen band fixture). doc_ids are staged as zero-padded 12-digit
+    repo keys so the stream's string-min rep election agrees with the
+    oracle's numeric min. The memory-sink result is materialized
+    before return (no lazy read of the staged files)."""
+    import tempfile
+    from pathlib import Path
+
+    from .streaming import stream_neardup_flags
+
+    d = _t(spark, sf_dir, "documents")
+    corp = d.select(
+        F.format_string("%012d", F.col("doc_id")).alias("repo"),
+        F.lit("doc.py").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    stage = Path(tempfile.gettempdir()) / f"bmpp_nd_stream_{Path(sf_dir).name}"
+    # ALWAYS overwrite (stale-testdata discipline of q_stream_hourly);
+    # safe because the streaming memory sink is fully materialized
+    # inside stream_neardup_flags before this function returns
+    corp.write.mode("overwrite").parquet(str(stage))
+    out = stream_neardup_flags(
+        spark, str(stage), corp.schema, max_files_per_trigger=None
+    )
+    flags = (
+        out.groupBy("doc_key")
+        .agg(F.min("near_dup_of").alias("nd_key"))
+        .select(
+            F.expr("cast(substring(doc_key, 1, 12) AS bigint)").alias("doc_id"),
+            F.expr("cast(substring(nd_key, 1, 12) AS bigint)").alias(
+                "near_dup_of"
+            ),
+        )
+    )
+    return d.select("doc_id").join(flags, "doc_id", "left")
+
+
 def q_stream_hourly(spark, sf_dir):
     """Structured Streaming windowed agg (watermark + tumbling window,
     complete mode) — cross-checked against the same batch SQL oracle
@@ -1666,6 +1710,7 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "csv_json_roundtrip": (q_csv_json_roundtrip, SQL_CSV_JSON_ROUNDTRIP),
     # streaming
     "stream_hourly": (q_stream_hourly, SQL_STREAM_HOURLY),
+    "stream_neardup": (q_stream_neardup, SQL_MINHASH_NEARDUP),
     # model-backed: oracle via the frozen-model fixture (see q_langid)
     "langid_score": (q_langid, SQL_LANGID),
     # model-backed: oracle re-derives LSH logic over the band fixture
