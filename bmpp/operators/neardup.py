@@ -71,19 +71,15 @@ def near_flags(
     )
     if cfg.neardup_bucket_cap:
         pairs = cap_bucket_members(pairs, cfg.neardup_bucket_cap)
-    salt = F.pmod(F.xxhash64("doc_key"), F.lit(cfg.dedup_salt_buckets))
-    partial = pairs.groupBy("band_hash", salt.alias("_salt")).agg(
-        F.min("doc_key").alias("_cand"), F.count(F.lit(1)).alias("_cnt")
-    )
-    buckets = (
-        partial.groupBy("band_hash")
-        .agg(F.min("_cand").alias("_rep"), F.sum("_cnt").alias("_n"))
-        .filter(F.col("_n") > 1)
-    )
-    # salted replicated join (operators.dedup.salted_join): a hot band
+    # salted two-phase bucket aggregate (shared with exact dedup and
+    # q_minhash_neardup) + salt-replicated flag join: a hot band
     # bucket would otherwise land whole on one reducer — AQE skew-split
     # cannot fire on this agg-fed join shape
-    from .dedup import salted_join
+    from .dedup import dup_groups, salted_join
+
+    buckets = dup_groups(
+        pairs, "band_hash", "doc_key", cfg.dedup_salt_buckets
+    )
 
     return (
         salted_join(pairs, buckets, "band_hash", "doc_key")

@@ -1130,6 +1130,9 @@ SELECT nationkey, 'customer_only' AS side FROM (
 
 _ROUNDTRIP_DIR: list = []
 _ROUNDTRIP_SEQ = _itertools.count()
+_ND_STREAM_SEQ = _itertools.count()  # stream_neardup staging (own
+# counter: sharing _ROUNDTRIP_SEQ would age rt_* dirs out of the
+# reaper's last-8 window without 8 roundtrip invocations happening)
 
 
 def _roundtrip_dir() -> str:
@@ -1247,7 +1250,6 @@ def q_stream_neardup(spark, sf_dir):
     repo keys so the stream's string-min rep election agrees with the
     oracle's numeric min. The memory-sink result is materialized
     before return (no lazy read of the staged files)."""
-    import tempfile
     from pathlib import Path
 
     from .streaming import stream_neardup_flags
@@ -1260,14 +1262,24 @@ def q_stream_neardup(spark, sf_dir):
         F.col("lang"),
         F.col("text").alias("content"),
     )
-    stage = Path(tempfile.gettempdir()) / f"bmpp_nd_stream_{Path(sf_dir).name}"
-    # ALWAYS overwrite (stale-testdata discipline of q_stream_hourly);
-    # safe because the streaming memory sink is fully materialized
-    # inside stream_neardup_flags before this function returns
-    corp.write.mode("overwrite").parquet(str(stage))
-    out = stream_neardup_flags(
-        spark, str(stage), corp.schema, max_files_per_trigger=None
+    # process-unique, per-invocation staging (the shared-/tmp fixed
+    # path two processes could race on is exactly what the roundtrip
+    # sinks avoid); the memory sink is fully materialized inside
+    # stream_neardup_flags, so the staged files can be deleted
+    # immediately after it returns
+    import shutil
+
+    stage = (
+        Path(_roundtrip_dir())
+        / f"nds_{Path(sf_dir).name}_{next(_ND_STREAM_SEQ)}"
     )
+    corp.write.mode("overwrite").parquet(str(stage))
+    try:
+        out = stream_neardup_flags(
+            spark, str(stage), corp.schema, max_files_per_trigger=None
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     flags = (
         out.groupBy("doc_key")
         .agg(F.min("near_dup_of").alias("nd_key"))

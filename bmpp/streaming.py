@@ -379,6 +379,14 @@ def stream_neardup_flags(
     from .udfs import make_bands_udf
 
     cfg = cfg or rules.PipelineConfig()
+    if cfg.neardup_bucket_cap:
+        raise ValueError(
+            "stream_neardup_flags: neardup_bucket_cap is a batch-only "
+            "knob (cap_bucket_members needs the whole bucket membership "
+            "to take the global hash-order top-cap; a streaming cap "
+            "would silently diverge from the batch semantics) — run the "
+            "batch near_flags for capped configs"
+        )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -226,6 +226,37 @@ def main() -> None:
         "  why AQE skew-split cannot fire on the agg-fed join shape).",
         "",
     ]
+    # preserve the salted-balance section on rewrite (its evidence
+    # comes from scripts/salted_balance.py, not this script — round 4
+    # lost the section once to this wholesale write_text)
+    bal = REPO / "BENCH" / "salted_balance_4m.json"
+    if bal.exists():
+        b = json.loads(bal.read_text())
+        lines += [
+            "",
+            "## Salted-join balance, measured AT the 4M-row scale",
+            "",
+            "`scripts/salted_balance.py` re-measures the dup-flag join's",
+            "partition balance on this same corpus under production confs",
+            "(128 MB splits, AQE on, local[32], 64 shuffle partitions) —",
+            "closing the loop the 20k-row test (tests/test_aqe_skew.py)",
+            "only extrapolated:",
+            "",
+            "| join shape | max partition share of flag rows |",
+            "| --- | --- |",
+            f"| salted (shipped, JOIN_SALT={b['join_salt']}) | **{b['salted_max_share']}** |",
+            f"| legacy unsalted (agg-fed) | {b['legacy_max_share']} |",
+            "",
+            f"{b['flag_rows']:,} flag rows over {b['partitions']} post-AQE partitions;",
+            "the planted mega group (~10% of the corpus on one content hash)",
+            f"lands {b['legacy_max_share']:.0%} of flag rows on a single reducer",
+            f"unsalted vs a {b['salted_max_share']:.1%} max share salted. Wall clock",
+            f"on THIS box is within noise between the shapes ({b['salted_wall_sec']}s",
+            f"vs {b['legacy_wall_sec']}s — one hot partition among {b['partitions']} on",
+            "shared memory hides behind the others); the share is what matters",
+            "at 1000 executors, where the unsalted hot reducer IS the job's",
+            "critical path. Evidence: BENCH/salted_balance_4m.json.",
+        ]
     (REPO / "BENCH" / "SCALE.md").write_text("\n".join(lines))
     print(json.dumps(summary))
 

@@ -15,3 +15,12 @@ def spark():
     s = get_spark(app="bmpp-tests", cores=4, shuffle_partitions=8)
     yield s
     s.stop()
+
+
+def plan_of(df) -> str:
+    """Formatted physical plan (shared by plan-guard test files; the
+    _jvm/PythonSQLUtils surface is Spark-private, so keep the single
+    access point here)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )

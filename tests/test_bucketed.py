@@ -14,10 +14,7 @@ from bmpp.operators.bucketed import colocated_join, drop_bucketed, write_buckete
 SF = "/root/testdata/sf0.01"
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from conftest import plan_of as _plan
 
 
 @pytest.fixture(scope="module")

@@ -454,6 +454,8 @@ def test_stream_neardup_first_seen_wins_across_batches(
             stream_dir / f"wave{i}.parquet",
         )
 
+    from pyspark.sql import functions as F
+
     out = stream_neardup_flags(
         spark, str(stream_dir),
         spark.read.parquet(str(stage / "w0")).schema,
@@ -461,8 +463,7 @@ def test_stream_neardup_first_seen_wins_across_batches(
     flags = {
         r["doc_key"]: r["near_dup_of"]
         for r in out.groupBy("doc_key")
-        .agg(__import__("pyspark").sql.functions.min("near_dup_of")
-             .alias("near_dup_of"))
+        .agg(F.min("near_dup_of").alias("near_dup_of"))
         .collect()
     }
     m, z, a, w = ("mrepo/a.py@c0", "zrepo/b.py@c0",
