@@ -1,0 +1,115 @@
+"""approx_aggs verifiable-oracle guards (VERDICT r4 item 1).
+
+fixtures/approx_aggs_sf0.01.parquet backs the approx_aggs DuckDB
+oracle (scripts/gen_approx_fixture.py). Three properties:
+
+1. staleness — the stored sketch outputs must equal a fresh
+   recomputation through the same catalog entry point (deterministic
+   because q_approx_aggs pins the sketch merge order);
+2. plan — the order-pinning local Sort must survive the optimizer
+   under the sketch aggregate (EliminateSorts keeps it only because
+   percentile_approx is not order-irrelevant; a refactor that folds
+   countDistinct back in, or drops the sort, breaks determinism
+   silently — this test catches it);
+3. error bounds — the sketches must sit within their published error
+   envelopes vs DuckDB's exact count(DISTINCT) / rank, so the frozen
+   values are evidence of a CORRECT sketch, not just a stable one.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+
+from bmpp.queries import q_approx_aggs
+from tests.conftest import plan_of
+
+SF_DIR = "/root/testdata/sf0.01"
+FIXTURE = "fixtures/approx_aggs_sf0.01.parquet"
+
+# published envelopes: HLL++ default rsd = 0.05 (assert within 2×);
+# percentile_approx(accuracy=1000) rank error ≤ n/1000 (assert ≤ 2×)
+HLL_RSD_BOUND = 0.10
+RANK_EPS = 0.002
+
+
+@pytest.fixture(scope="module")
+def fresh(spark):
+    return {
+        r["l_returnflag"]: r for r in q_approx_aggs(spark, SF_DIR).collect()
+    }
+
+
+def test_fixture_matches_fresh_sketches(fresh):
+    fix = pq.read_table(FIXTURE).to_pandas().set_index("l_returnflag")
+    assert set(fix.index) == set(fresh), "fixture/group drift"
+    for flag, row in fresh.items():
+        stored = fix.loc[flag]
+        assert int(stored["approx_parts"]) == row["approx_parts"]
+        # bit-exact float64: same sketch → same interpolated value
+        assert stored["approx_median_price"] == row["approx_median_price"]
+
+
+def test_sketch_runs_are_deterministic(spark, fresh):
+    again = {r["l_returnflag"]: r for r in q_approx_aggs(spark, SF_DIR).collect()}
+    for flag, row in fresh.items():
+        assert again[flag]["approx_parts"] == row["approx_parts"]
+        assert again[flag]["approx_median_price"] == row["approx_median_price"]
+
+
+def test_order_pinning_sort_survives_optimizer(spark):
+    plan = plan_of(q_approx_aggs(spark, SF_DIR))
+    # sketch leg: Exchange(hashpartitioning) → Sort → partial+final
+    # ObjectHashAggregate with NO exchange between the two aggregates
+    assert len(re.findall(r"\bObjectHashAggregate\b", plan)) >= 2
+    sort_ids = [
+        int(m.group(1)) for m in re.finditer(r"\((\d+)\) Sort\b", plan)
+    ]
+    agg_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) ObjectHashAggregate", plan)
+    ]
+    assert sort_ids, "order-pinning Sort was optimized away"
+    assert min(sort_ids) < min(agg_ids), "Sort must feed the sketch agg"
+    exch_ids = [
+        int(m.group(1)) for m in re.finditer(r"\((\d+)\) Exchange\b", plan)
+    ]
+    assert not [
+        e for e in exch_ids if min(agg_ids) < e < max(agg_ids)
+    ], "an Exchange between partial and final sketch agg breaks the order pin"
+
+
+def test_sketches_within_published_error_bounds():
+    con = duckdb.connect()
+    exact = {
+        flag: (int(n), int(total))
+        for flag, n, total in con.execute(
+            f"""SELECT l_returnflag, count(DISTINCT l_partkey), count(*)
+                FROM read_parquet('{SF_DIR}/lineitem.parquet')
+                GROUP BY l_returnflag"""
+        ).fetchall()
+    }
+    fix = pq.read_table(FIXTURE).to_pandas()
+    assert len(fix) == len(exact)
+    for _, row in fix.iterrows():
+        n_distinct, n_rows = exact[row["l_returnflag"]]
+        rel = abs(int(row["approx_parts"]) - n_distinct) / n_distinct
+        assert rel <= HLL_RSD_BOUND, (row["l_returnflag"], rel)
+        # rank check: the interval [count(<v), count(<=v)] must
+        # intersect the allowed rank band around the true median
+        lo, hi = con.execute(
+            f"""SELECT count(*) FILTER (l_extendedprice < ?),
+                       count(*) FILTER (l_extendedprice <= ?)
+                FROM read_parquet('{SF_DIR}/lineitem.parquet')
+                WHERE l_returnflag = ?""",
+            [row["approx_median_price"], row["approx_median_price"],
+             row["l_returnflag"]],
+        ).fetchone()
+        band_lo = (0.5 - RANK_EPS) * n_rows
+        band_hi = (0.5 + RANK_EPS) * n_rows
+        assert lo <= band_hi and hi >= band_lo, (
+            row["l_returnflag"], lo, hi, n_rows,
+        )
