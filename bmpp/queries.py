@@ -28,6 +28,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 _EAGER_CACHE: dict[str, DataFrame] = {}
+# Concurrency note (ADVICE r4): _EAGER_CACHE, _BUCKETED_TABLES and the
+# itertools seq counters are unsynchronized module globals, sized for
+# the driver/bench/test surfaces, which invoke the catalog from ONE
+# thread. Driving the catalog from multiple threads could interleave a
+# persist/unpersist or table reap (cache thrash, never wrong results —
+# unpersist only forces recompute); alternating sf_dirs on one key
+# likewise thrashes persist/materialize per call. Guard the registry
+# mutations with a lock before adding a concurrent driver.
 
 
 def _eager_persist(key: str, df: DataFrame) -> DataFrame:
@@ -1183,6 +1191,8 @@ _ROUNDTRIP_SEQ = _itertools.count()
 _ND_STREAM_SEQ = _itertools.count()  # stream_neardup staging (own
 # counter: sharing _ROUNDTRIP_SEQ would age rt_* dirs out of the
 # reaper's last-8 window without 8 roundtrip invocations happening)
+_EV_STREAM_SEQ = _itertools.count()  # stream_hourly staging (same
+# isolation; deleted in-call, the counter just guarantees uniqueness)
 
 
 def _roundtrip_dir() -> str:
@@ -1220,12 +1230,18 @@ def q_csv_json_roundtrip(spark, sf_dir):
     seq = next(_ROUNDTRIP_SEQ)
     # reap ONLY this query's own rt_* dirs: the root is shared with
     # the bucketed-join sinks, whose lifecycle runs on a different
-    # counter (comparing seqs across counters would delete live files)
+    # counter (comparing seqs across counters would delete live files).
+    # Tolerant parse: an rt_* name not ending in an integer (crashed
+    # run leftover, future naming change) is skipped, not a ValueError
+    # that fails the whole query — same tolerance as the rest of the
+    # lifecycle code.
     for old in root.iterdir():
+        tail = old.name.rsplit("_", 1)[-1]
         if (
             old.is_dir()
             and old.name.startswith("rt_")
-            and int(old.name.rsplit("_", 1)[-1]) <= seq - 8
+            and tail.isdigit()
+            and int(tail) <= seq - 8
         ):
             shutil.rmtree(old, ignore_errors=True)
     base = root / f"rt_{Path(sf_dir).name}_{seq}"
@@ -1346,19 +1362,27 @@ def q_stream_neardup(spark, sf_dir):
 def q_stream_hourly(spark, sf_dir):
     """Structured Streaming windowed agg (watermark + tumbling window,
     complete mode) — cross-checked against the same batch SQL oracle
-    as events_hourly."""
+    as events_hourly. Staging follows the per-invocation discipline of
+    stream_neardup / the roundtrip sinks (process-unique root + fresh
+    subdir per call — a fixed shared /tmp path two processes overwrite
+    in place is a read race); the memory sink holds the result in
+    driver memory, so the staged copy is deleted immediately after the
+    stream drains."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     from .streaming import stream_hourly_counts
 
-    d = Path(tempfile.gettempdir()) / f"bmpp_events_stream_{Path(sf_dir).name}"
-    d.mkdir(exist_ok=True)
-    # ALWAYS overwrite: a skip-if-exists copy goes stale when testdata
-    # is regenerated and would silently diverge from the batch oracle
-    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
-    return stream_hourly_counts(spark, str(d))
+    stage = (
+        Path(_roundtrip_dir())
+        / f"evs_{Path(sf_dir).name}_{next(_EV_STREAM_SEQ)}"
+    )
+    stage.mkdir(parents=True)
+    shutil.copy(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    try:
+        return stream_hourly_counts(spark, str(stage))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 SQL_STREAM_HOURLY = """

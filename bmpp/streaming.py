@@ -34,8 +34,26 @@ from .operators.score import score_reasons
 from .udfs import make_enrich_udf
 
 
+_MEMORY_SINKS: list[tuple[SparkSession, str]] = []  # (session, table)
+_MEMORY_SINK_KEEP = 8  # last-K live, mirroring the rt_* dir reaper
+
+
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     name = f"bmpp_stream_{uuid.uuid4().hex[:12]}"
+    spark = stream_df.sparkSession
+    # reap old memory-sink tables (driver-memory analog of the file-
+    # sink last-K reaper): each invocation registers a uuid-named temp
+    # view whose rows live in the driver, so a long-lived bench/test
+    # session would otherwise accrete them without bound. The returned
+    # DataFrame is analyzed at creation, so dropping the VIEW name
+    # later never invalidates a still-live result (same contract as
+    # reaping a lazy file sink's older-than-K dirs).
+    while len(_MEMORY_SINKS) >= _MEMORY_SINK_KEEP:
+        old_spark, old_name = _MEMORY_SINKS.pop(0)
+        try:
+            old_spark.catalog.dropTempView(old_name)
+        except Exception:
+            pass  # session already stopped
     q = (
         stream_df.writeStream.outputMode(mode)
         .format("memory")
@@ -44,7 +62,8 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     )
     q.processAllAvailable()
     q.stop()
-    return stream_df.sparkSession.table(name)
+    _MEMORY_SINKS.append((spark, name))
+    return spark.table(name)
 
 
 def enrich_stream(df: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:

@@ -472,3 +472,28 @@ def test_stream_neardup_first_seen_wins_across_batches(
     assert m not in flags, "earlier rep was retro-flagged"
     assert a not in flags, "new smaller rep must not be flagged"
     assert flags.get(w) == a, f"wave-4 doc should flag against new rep: {flags}"
+
+
+def test_memory_sink_tables_are_reaped(spark, tmp_path_factory):
+    """ADVICE r4: _run_to_memory registers a uuid temp view per
+    invocation; the last-K reaper must bound them in a long-lived
+    session, and an already-returned result must survive its view
+    being reaped (the DataFrame is analyzed at creation)."""
+    import shutil
+
+    from bmpp import streaming as st
+
+    d = tmp_path_factory.mktemp("events_reap")
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    first = stream_hourly_counts(spark, str(d))
+    n_first = first.count()
+    for _ in range(st._MEMORY_SINK_KEEP + 2):
+        stream_hourly_counts(spark, str(d))
+    live = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("bmpp_stream_")
+    ]
+    assert len(live) <= st._MEMORY_SINK_KEEP
+    # the reaped first result still collects (plan holds the sink rows)
+    assert first.count() == n_first
