@@ -181,3 +181,38 @@ def test_eager_persist_registry_is_bounded(spark):
         "repeat invocation dropped the live cache (CacheManager "
         "plan-aliasing regression)"
     )
+
+
+def test_simhash_fingerprint_shared_between_catalog_entries(spark):
+    """VERDICT r4 item 4: q_simhash and q_simhash_hamming must route
+    through ONE persisted (doc_id, hi, lo) fingerprint — after either
+    runs, the other's plan reads the InMemoryRelation instead of
+    re-running the md5-vote kernel (no ArrowEvalPython node)."""
+    from bmpp import queries as Q
+    from bmpp.queries import q_simhash, q_simhash_hamming
+
+    q_simhash_hamming(spark, SF).count()
+    fp = Q._EAGER_CACHE["simhash_fp"]
+    assert fp.storageLevel.useMemory or fp.storageLevel.useDisk
+    plan = _plan(q_simhash(spark, SF))
+    tree = plan.split("\n\n")[0].splitlines()
+    scan_at = next(
+        (i for i, ln in enumerate(tree) if "InMemoryTableScan" in ln), None
+    )
+    assert scan_at is not None, "q_simhash bypasses the shared fp"
+    # nodes BELOW the InMemoryTableScan are the cache's build
+    # description (ArrowEvalPython legitimately appears there); the
+    # EXECUTING path above it must be kernel-free
+    above = "\n".join(tree[:scan_at])
+    assert "ArrowEvalPython" not in above, (
+        "q_simhash re-runs the fingerprint kernel instead of reusing "
+        "the persisted fp"
+    )
+    # and the rendered bit string survives the int round-trip: spot-
+    # check hi/lo == conv(simhash_bits) for a sample
+    sample = q_simhash(spark, SF).limit(50).collect()
+    fps = {r["doc_id"]: (r["hi"], r["lo"]) for r in fp.collect()}
+    for r in sample:
+        b = r["simhash_bits"]
+        assert len(b) == 64
+        assert fps[r["doc_id"]] == (int(b[:32], 2), int(b[32:], 2))
