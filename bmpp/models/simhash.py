@@ -1,0 +1,58 @@
+"""SimHash fingerprints (Charikar, STOC 2002) over hashed char-4-grams.
+
+One shared kernel — the Spark pandas UDF (bmpp.udfs.simhash_udf, fed
+into the fused enrich pass when ``neardup_algo == "simhash"``) and the
+pure-Python oracle (bmpp.oracle) both call :func:`simhash64`, so the
+pipeline's fingerprints and the golden labels are bit-identical by
+construction (the bmpp.rules/models sharing invariant).
+
+This is the engine-internal xxhash-style variant (models.hashing
+rolling hashes — one numpy pass, no per-gram hashlib calls). The
+dialect-portable md5-vote variant with a DuckDB-checkable spec lives
+in bmpp.queries.q_simhash; the two intentionally differ so the
+catalog entry stays independently verifiable while the pipeline path
+stays fast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import bytes_array, ngram_hashes
+
+_BITS = np.arange(64, dtype=np.uint64)
+_ONE = np.uint64(1)
+
+
+def simhash64(text: str, k: int = 4) -> int:
+    """Signed-int64 SimHash of lowercased ``text``: per-k-gram rolling
+    hash → 64 bit-votes (+1/-1) → bit i set iff votes[i] > 0 (ties
+    vote 0). Empty/short texts (< k bytes) fingerprint to 0 — callers
+    treat 0 as degenerate and exclude it from candidate generation."""
+    h = ngram_hashes(bytes_array((text or "").lower()), k)
+    if len(h) == 0:
+        return 0
+    bits = (h[:, None] >> _BITS) & _ONE
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    val = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            val |= _ONE << np.uint64(i)
+    return int(val.astype(np.int64))
+
+
+def simhash64_batch(texts: list[str], k: int = 4) -> list[int]:
+    return [simhash64(t, k) for t in texts]
+
+
+def hamming64(a: int, b: int) -> int:
+    """Hamming distance between two signed-int64 fingerprints."""
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def chunks16(fp: int) -> list[int]:
+    """The four 16-bit chunks of a fingerprint, index 0 = bits 48-63
+    (the order bmpp.operators.simhash.hamming_flags uses: chunk c is
+    ``(fp >> (48 - 16c)) & 0xFFFF``)."""
+    u = fp & 0xFFFFFFFFFFFFFFFF
+    return [(u >> (48 - 16 * c)) & 0xFFFF for c in range(4)]

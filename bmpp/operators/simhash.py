@@ -1,0 +1,118 @@
+"""SimHash hamming-chunk near-duplicate flagging as DataFrame ops.
+
+Alternate near-dup algorithm to MinHash+LSH (operators.neardup) —
+selected per run via ``PipelineConfig.neardup_algo`` exactly like the
+reference picks duplicate-detection behavior per run with task flags
+(optical-duplicate detection, bamMergePreprocessing.wdl:282,388).
+SimHash trades MinHash's per-doc band array for ONE 64-bit integer
+per doc: at 10^12 rows the candidate-generation shuffle carries
+8 bytes of fingerprint instead of ~64 bytes of band hashes, at the
+cost of detecting only small-edit near-dups (hamming ≤ k) rather than
+set-overlap similarity.
+
+LSH here is the pigeonhole chunk trick (Charikar 2002; Manku et al.,
+WWW 2007): split the 64-bit fingerprint into 4 chunks of 16 bits —
+any pair at hamming ≤ 3 must agree EXACTLY on ≥ 1 chunk — bucket-join
+on (chunk_idx, chunk_value), then VERIFY true hamming distance via
+JVM ``bit_count(xor)`` (chunk collision is necessary, not
+sufficient), and flag each doc against its smallest verified
+lower-key neighbor (the min-rep election shape shared with
+operators.neardup / dedup).
+
+Scale: the join key is a 16-bit chunk value — candidate volume is
+collision-proportional, never all-pairs (plan-guarded: no cartesian).
+Unlike the agg-fed flag joins (where AQE provably can't split skew —
+tests/test_aqe_skew.py — hence the explicit salt), this candidate
+join is scan-fed on both sides, so AQE's skew-join CAN handle a hot
+chunk value; the deterministic ``chunk_bucket_cap`` remains the
+explicit safety valve for mass-templated corpora where one chunk
+bucket degenerates quadratically (--downsampling_type analog,
+wdl:545,567,588).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import rules
+
+
+def hamming_flags(
+    fp: DataFrame,
+    key_col: str = "doc_key",
+    fp_col: str = "simhash",
+    max_hamming: int = 3,
+    chunk_bucket_cap: int | None = None,
+) -> DataFrame:
+    """(key, near_dup_of) for every key whose fingerprint verifies at
+    hamming ≤ ``max_hamming`` against a smaller key sharing a chunk
+    bucket (flagged rows ONLY — callers left-join back). Degenerate
+    all-zero fingerprints (texts shorter than one gram) never enter
+    candidate generation. ``chunk_bucket_cap`` keeps the ``cap``
+    members with smallest (sha256(key), key) per (chunk_idx, chunk)
+    bucket — deterministic hash-order downsampling the pure-Python
+    oracle reproduces bit-exactly; pruned members simply aren't
+    flagged via that chunk."""
+    f = F.col(fp_col)
+    chunks = (
+        fp.filter(f != 0)
+        .select(
+            key_col, fp_col,
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
+        )
+        .withColumn(
+            "chunk",
+            F.when(F.col("c") == 0, F.shiftright(f, 48))
+            .when(F.col("c") == 1, F.shiftright(f, 32))
+            .when(F.col("c") == 2, F.shiftright(f, 16))
+            .otherwise(f)
+            .bitwiseAND(65535),
+        )
+    )
+    if chunk_bucket_cap:
+        from .neardup import cap_bucket_members
+
+        chunks = cap_bucket_members(
+            # composite (chunk_idx, chunk value) bucket as one long key
+            chunks.withColumn("_bucket", F.col("c") * 65536 + F.col("chunk")),
+            chunk_bucket_cap,
+            bucket_col="_bucket",
+            key_col=key_col,
+        ).drop("_bucket")
+    a = chunks.select(
+        "c", "chunk", F.col(key_col).alias("_ka"), f.alias("_fa")
+    )
+    b = chunks.select(
+        "c", "chunk", F.col(key_col).alias("_kb"), f.alias("_fb")
+    )
+    cand = (
+        a.join(b, ["c", "chunk"])
+        .filter(F.col("_ka") < F.col("_kb"))
+        .select("_ka", "_kb", "_fa", "_fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return (
+        cand.filter(ham <= max_hamming)
+        .groupBy(F.col("_kb").alias(key_col))
+        .agg(F.min("_ka").alias("near_dup_of"))
+    )
+
+
+def simhash_flags(
+    fp_slim: DataFrame, dup_keys: DataFrame, cfg: rules.PipelineConfig
+) -> DataFrame:
+    """Pipeline flag stage over (doc_key, simhash) — the SimHash
+    counterpart of operators.neardup.near_flags: exact duplicates are
+    excluded via anti join (their group representative still
+    participates, mirroring markdup→optical layering), then the
+    hamming-chunk LSH flags survivors."""
+    survivors = fp_slim.join(dup_keys, "doc_key", "left_anti")
+    return hamming_flags(
+        survivors,
+        key_col="doc_key",
+        fp_col="simhash",
+        max_hamming=cfg.simhash_max_hamming,
+        chunk_bucket_cap=cfg.simhash_chunk_bucket_cap,
+    )

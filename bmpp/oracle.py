@@ -126,8 +126,52 @@ def process(rows: list[dict], cfg: rules.PipelineConfig | None = None) -> list[d
         for o in out:
             o["is_duplicate"], o["dup_of"] = False, None
 
-    # --- near-dup via MinHash LSH (optical-duplicate analog) ---
-    if cfg.do_near_dedup:
+    # --- near-dup (optical-duplicate analog): algorithm per config,
+    # exactly as pipeline._near_flags dispatches ---
+    if cfg.do_near_dedup and cfg.neardup_algo == "simhash":
+        import hashlib
+
+        from .models.simhash import chunks16, hamming64, simhash64
+
+        # same layering as the Spark operator: exact dups excluded
+        # (their group rep still participates); all-zero fingerprints
+        # (shorter than one gram) never enter candidate generation
+        fps: dict[str, int] = {}
+        for o in out:
+            if o["is_duplicate"]:
+                continue
+            fp = simhash64(o["content"])
+            if fp != 0:
+                fps[o["doc_key"]] = fp
+        sbuckets: dict[tuple[int, int], list[str]] = defaultdict(list)
+        for k, fp in fps.items():
+            for c, ch in enumerate(chunks16(fp)):
+                sbuckets[(c, ch)].append(k)
+        if cfg.simhash_chunk_bucket_cap:
+            cap = cfg.simhash_chunk_bucket_cap
+            sbuckets = {
+                b: sorted(
+                    ks,
+                    key=lambda k: (hashlib.sha256(k.encode()).hexdigest(), k),
+                )[:cap]
+                for b, ks in sbuckets.items()
+            }
+        smaller: dict[str, set[str]] = defaultdict(set)
+        for ks in sbuckets.values():
+            ss = sorted(ks)
+            for i, b in enumerate(ss):
+                smaller[b].update(ss[:i])
+        for o in out:
+            k = o["doc_key"]
+            near = [
+                a
+                for a in smaller.get(k, ())
+                if hamming64(fps[a], fps[k]) <= cfg.simhash_max_hamming
+            ]
+            o["near_dup_of"] = min(near) if near else None
+            if o["near_dup_of"] is not None and cfg.remove_duplicates:
+                o["_reasons"].add(rules.R_NEAR_DUP)
+    elif cfg.do_near_dedup:
         buckets: dict[int, list[str]] = defaultdict(list)
         sigs: dict[str, list[int]] = {}
         for o in out:

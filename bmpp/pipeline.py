@@ -31,6 +31,7 @@ from .io import ParquetSnapshotIO
 from .operators.dedup import dup_flags, with_keys
 from .operators.filter import filter_stage
 from .operators.neardup import near_flags
+from .operators.simhash import simhash_flags
 from .operators.regroup import finalize
 from .operators.score import score_reasons
 from .operators.split import split_records
@@ -116,6 +117,22 @@ def _dup_keys(dupf: DataFrame | None, base: DataFrame) -> DataFrame:
     return dupf.filter(F.col("is_duplicate")).select("doc_key")
 
 
+def _near_flags(
+    base: DataFrame, dupf: DataFrame | None, cfg: rules.PipelineConfig
+) -> DataFrame:
+    """Algorithm dispatch for the near-dup flag stage: both paths take
+    a slim projection of the enriched table (the per-doc LSH features
+    the fused UDF already computed) and return (doc_key, near_dup_of)
+    for flagged rows only."""
+    if cfg.neardup_algo == "simhash":
+        return simhash_flags(
+            base.select("doc_key", "simhash"), _dup_keys(dupf, base), cfg
+        )
+    return near_flags(
+        base.select("doc_key", "minhash_bands"), _dup_keys(dupf, base), cfg
+    )
+
+
 def build_plan(
     df: DataFrame,
     cfg: rules.PipelineConfig | None = None,
@@ -146,13 +163,7 @@ def build_plan(
         if cfg.do_dedup
         else None
     )
-    nearf = (
-        near_flags(
-            base.select("doc_key", "minhash_bands"), _dup_keys(dupf, base), cfg
-        )
-        if cfg.do_near_dedup
-        else None
-    )
+    nearf = _near_flags(base, dupf, cfg) if cfg.do_near_dedup else None
     return _assemble(base, dupf, nearf, cfg)
 
 
@@ -190,15 +201,7 @@ def run_resumable(
     nearf = None
     if cfg.do_near_dedup:
         if not io.exists("nearflags", ch):
-            io.write(
-                near_flags(
-                    base.select("doc_key", "minhash_bands"),
-                    _dup_keys(dupf, base),
-                    cfg,
-                ),
-                "nearflags",
-                ch,
-            )
+            io.write(_near_flags(base, dupf, cfg), "nearflags", ch)
         nearf = io.read(spark, "nearflags", ch)
 
     io.write(_assemble(base, dupf, nearf, cfg), "final", ch)

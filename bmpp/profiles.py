@@ -32,6 +32,9 @@ PROFILES: dict[str, PipelineConfig] = {
     "rna_split": PipelineConfig(do_filter=False, do_split=True),
     # splitter on top of the full default pipeline (Test8/9 analog)
     "split": PipelineConfig(do_split=True),
+    # SimHash near-dup instead of MinHash (hamming fingerprint — one
+    # long per doc; the alternate optical-duplicate behavior)
+    "simhash_neardup": PipelineConfig(neardup_algo="simhash"),
 }
 
 

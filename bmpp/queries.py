@@ -1632,61 +1632,31 @@ def simhash_hamming_flags(
     (chunk_idx, chunk) bucket — the same deterministic hash-order
     downsampling knob as ``neardup_bucket_cap``
     (operators.neardup.cap_bucket_members, reference
-    ``--downsampling_type`` wdl:545,567,588)."""
-    # the self-join consumes fp on BOTH sides — the shared eager
+    ``--downsampling_type`` wdl:545,567,588). The pipeline-level form
+    of this knob is ``PipelineConfig.simhash_chunk_bucket_cap``
+    (neardup_algo="simhash"); both route through the SAME
+    operators.simhash.hamming_flags implementation."""
+    from .operators.simhash import hamming_flags
+
+    # the chunk self-join consumes fp on BOTH sides — the shared eager
     # persist (_simhash_fp) runs the fingerprint UDF once, not twice
     # (and the branches can't race to compute it; same discipline as
     # pipeline.build_plan). The persisted projection is slim —
     # (doc_id, 2×bigint) — bounded across invocations by the keyed
-    # registry (≤1 cached copy) and REUSED by q_simhash.
-    fp = _simhash_fp(d)
-    chunks = (
-        fp.filter((F.col("hi") != 0) | (F.col("lo") != 0))
-        .select(
-            "doc_id", "hi", "lo",
-            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
-        )
-        .withColumn(
-            "chunk",
-            F.when(F.col("c") == 0, F.shiftright("hi", 16))
-            .when(F.col("c") == 1, F.col("hi").bitwiseAND(65535))
-            .when(F.col("c") == 2, F.shiftright("lo", 16))
-            .otherwise(F.col("lo").bitwiseAND(65535)),
-        )
+    # registry (≤1 cached copy) and REUSED by q_simhash. The two
+    # halves recombine into ONE bigint (shiftleft|or preserves the bit
+    # pattern; sign is irrelevant to xor/bit_count) so the generic
+    # single-column operator serves this path too.
+    fp = _simhash_fp(d).select(
+        "doc_id",
+        F.shiftleft("hi", 32).bitwiseOR(F.col("lo")).alias("fp64"),
     )
-    if chunk_bucket_cap:
-        from .operators.neardup import cap_bucket_members
-
-        chunks = cap_bucket_members(
-            # composite (chunk_idx, chunk value) bucket as one long key
-            chunks.withColumn(
-                "_bucket", F.col("c") * 65536 + F.col("chunk")
-            ),
-            chunk_bucket_cap,
-            bucket_col="_bucket",
-            key_col="doc_id",
-        ).drop("_bucket")
-    a = chunks.select(
-        "c", "chunk", F.col("doc_id").alias("da"),
-        F.col("hi").alias("ha"), F.col("lo").alias("la"),
-    )
-    bb = chunks.select(
-        "c", "chunk", F.col("doc_id").alias("db"),
-        F.col("hi").alias("hb"), F.col("lo").alias("lb"),
-    )
-    cand = (
-        a.join(bb, ["c", "chunk"])
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db", "ha", "la", "hb", "lb")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
-        F.col("la").bitwiseXOR(F.col("lb"))
-    )
-    near = (
-        cand.filter(ham <= max_hamming)
-        .groupBy(F.col("db").alias("doc_id"))
-        .agg(F.min("da").alias("near_dup_of"))
+    near = hamming_flags(
+        fp,
+        key_col="doc_id",
+        fp_col="fp64",
+        max_hamming=max_hamming,
+        chunk_bucket_cap=chunk_bucket_cap,
     )
     return d.select("doc_id").join(near, "doc_id", "left")
 

@@ -189,9 +189,21 @@ class PipelineConfig:
     # (10^11+ flagged rows) set False to fall back to a shuffled join
     # on the unique (unskewed) doc_key, which AQE handles.
     broadcast_flags: bool = True
+    # near-dup algorithm: "minhash" (set-overlap LSH, the default) or
+    # "simhash" (64-bit hamming fingerprint + chunk LSH — one long per
+    # doc instead of a band array; catches small-edit near-dups only).
+    # The reference picks duplicate-detection behavior per run the
+    # same way (optical-duplicate flags, wdl:282,388).
+    neardup_algo: str = "minhash"
     minhash_perms: int = 64
     lsh_bands: int = 8               # 8 bands × 8 rows
     shingle_k: int = 5               # char-shingle width (words for code)
+    # simhash-mode knobs (ignored under minhash): verified hamming
+    # radius, and the hot-chunk downsampling cap — the simhash twin of
+    # neardup_bucket_cap (same deterministic hash-order sample, same
+    # --downsampling_type lineage; operators/simhash.py)
+    simhash_max_hamming: int = 3
+    simhash_chunk_bucket_cap: int | None = None
     # hot-bucket downsampling cap (reference --downsampling_type,
     # bamMergePreprocessing.wdl:545,567,588 — the safety valve for
     # degenerate groups): when set, each LSH band bucket considers at
@@ -213,6 +225,13 @@ class PipelineConfig:
     # extra (regex, replacement) pairs appended to SCRUB_PACK, applied
     # in order after the base pack on both engine and oracle sides.
     extra_scrub_patterns: tuple = ()
+
+    def __post_init__(self):
+        if self.neardup_algo not in ("minhash", "simhash"):
+            raise ValueError(
+                f"neardup_algo must be 'minhash' or 'simhash', "
+                f"got {self.neardup_algo!r}"
+            )
 
     def config_hash(self) -> str:
         import json

@@ -95,8 +95,10 @@ def stream_quality_filter(
     Without: drains to a memory sink and returns the result."""
     cfg = cfg or rules.PipelineConfig(do_near_dedup=False)
     src = spark.readStream.schema(schema).parquet(input_dir)
+    # drop whichever LSH feature column the configured algo produced
+    # (df.drop ignores absent names)
     out = enrich_stream(src, cfg).drop(
-        "_reasons_filter", "_reasons_score", "minhash_bands"
+        "_reasons_filter", "_reasons_score", "minhash_bands", "simhash"
     )
     if output_dir:
         q = (
@@ -398,6 +400,12 @@ def stream_neardup_flags(
     from .udfs import make_bands_udf
 
     cfg = cfg or rules.PipelineConfig()
+    if cfg.neardup_algo != "minhash":
+        raise ValueError(
+            "stream_neardup_flags implements the MinHash band-bucket "
+            "stream only; run the batch pipeline for "
+            f"neardup_algo={cfg.neardup_algo!r}"
+        )
     if cfg.neardup_bucket_cap:
         raise ValueError(
             "stream_neardup_flags: neardup_bucket_cap is a batch-only "

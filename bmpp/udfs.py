@@ -72,8 +72,12 @@ def make_enrich_udf(cfg):
             T.StructField("langid_conf", T.DoubleType()),
             T.StructField("perplexity", T.DoubleType()),
         ]
+    use_simhash = cfg.do_near_dedup and cfg.neardup_algo == "simhash"
     if cfg.do_near_dedup:
-        fields.append(T.StructField("minhash_bands", T.ArrayType(T.LongType())))
+        if use_simhash:
+            fields.append(T.StructField("simhash", T.LongType()))
+        else:
+            fields.append(T.StructField("minhash_bands", T.ArrayType(T.LongType())))
     if cfg.do_scrub:
         fields += [
             T.StructField("content_scrubbed", T.StringType()),
@@ -97,11 +101,18 @@ def make_enrich_udf(cfg):
             out["langid_conf"] = confs
             out["perplexity"] = lm.batch(texts)
         if do_near:
-            bands = []
-            for t in texts:
-                sig = signature(t, n_perms, k)
-                bands.append(None if sig is None else band_hashes(sig, n_bands))
-            out["minhash_bands"] = bands
+            if use_simhash:
+                from .models.simhash import simhash64_batch
+
+                out["simhash"] = pd.Series(
+                    simhash64_batch(texts), dtype="int64"
+                )
+            else:
+                bands = []
+                for t in texts:
+                    sig = signature(t, n_perms, k)
+                    bands.append(None if sig is None else band_hashes(sig, n_bands))
+                out["minhash_bands"] = bands
         if do_scrub:
             scrubbed, counts = [], []
             for t in texts:
@@ -127,23 +138,11 @@ def make_enrich_udf(cfg):
 
 @F.pandas_udf(T.LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    import numpy as np
+    from .models.simhash import simhash64_batch
 
-    from .models.hashing import bytes_array, ngram_hashes
-
-    out = []
-    for t in texts:
-        h = ngram_hashes(bytes_array((t or "").lower()), 4)
-        if len(h) == 0:
-            out.append(0)
-            continue
-        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        val = np.uint64(0)
-        for i in range(64):
-            if votes[i] > 0:
-                val |= np.uint64(1) << np.uint64(i)
-        out.append(int(val.astype(np.int64)))
-    return pd.Series(out, dtype="int64")
+    return pd.Series(
+        simhash64_batch([t if isinstance(t, str) else "" for t in texts]),
+        dtype="int64",
+    )
 
 

@@ -45,6 +45,27 @@ def main(argv=None) -> int:
                    "analog): one output row per line-block chunk")
     p.add_argument("--split-max-lines", type=int, default=None)
     p.add_argument(
+        "--neardup-algo", choices=["minhash", "simhash"], default=None,
+        help="near-dup algorithm: minhash (set-overlap LSH, default) "
+        "or simhash (64-bit hamming fingerprint + chunk LSH)",
+    )
+    p.add_argument(
+        "--neardup-bucket-cap", type=int, default=None, metavar="N",
+        help="minhash mode: consider at most N members per LSH band "
+        "bucket, chosen by deterministic hash order (the reference's "
+        "--downsampling_type safety valve for degenerate groups)",
+    )
+    p.add_argument(
+        "--simhash-max-hamming", type=int, default=None, metavar="D",
+        help="simhash mode: verified hamming radius (default 3)",
+    )
+    p.add_argument(
+        "--simhash-chunk-cap", type=int, default=None, metavar="N",
+        help="simhash mode: consider at most N members per 16-bit "
+        "chunk bucket (same deterministic downsampling as "
+        "--neardup-bucket-cap)",
+    )
+    p.add_argument(
         "--keep-predicate", action="append", default=[], metavar="SQL_EXPR",
         help="extra keep predicate (repeatable) over the heuristic "
         "columns, e.g. 'n_chars <= 50000'; a violating row gains drop "
@@ -97,6 +118,14 @@ def main(argv=None) -> int:
         overrides["do_split"] = True
     if args.split_max_lines is not None:
         overrides["split_max_lines"] = args.split_max_lines
+    if args.neardup_algo is not None:
+        overrides["neardup_algo"] = args.neardup_algo
+    if args.neardup_bucket_cap is not None:
+        overrides["neardup_bucket_cap"] = args.neardup_bucket_cap
+    if args.simhash_max_hamming is not None:
+        overrides["simhash_max_hamming"] = args.simhash_max_hamming
+    if args.simhash_chunk_cap is not None:
+        overrides["simhash_chunk_bucket_cap"] = args.simhash_chunk_cap
     if args.keep_predicate:
         overrides["extra_keep_predicates"] = tuple(args.keep_predicate)
     if args.scrub_pattern:

@@ -58,6 +58,20 @@ CASES = {
     # engine and oracle must agree on the hash-order sample bit-exactly
     # (cap=2 BINDS on this corpus — proven by test_neardup_cap.py)
     "downsample_cap": rules.PipelineConfig(neardup_bucket_cap=2),
+    # SimHash near-dup algorithm (neardup_algo switch): hamming-chunk
+    # LSH flags must match the pure-Python oracle bit-exactly,
+    # including the exact-dup exclusion layering
+    "simhash_neardup": rules.PipelineConfig(neardup_algo="simhash"),
+    # ... with removeDuplicates so R_NEAR_DUP reasons flow from the
+    # simhash flags into keep/drop
+    "simhash_remove_dups": rules.PipelineConfig(
+        neardup_algo="simhash", remove_duplicates=True
+    ),
+    # hot-chunk downsampling (simhash twin of downsample_cap; cap=2
+    # BINDS on this corpus — proven by test_simhash_pipeline.py)
+    "simhash_chunk_cap": rules.PipelineConfig(
+        neardup_algo="simhash", simhash_chunk_bucket_cap=2
+    ),
 }
 
 

@@ -1,0 +1,121 @@
+"""Pipeline-level SimHash near-dup (``neardup_algo="simhash"`` —
+VERDICT r4 item 5): the chunk-cap knob must bind, planted near-dups
+must be recalled, the plan must stay collision-proportional (no
+cartesian), and mis-configs must fail loudly. Bit-exact oracle parity
+for the algorithm (including cap and removeDuplicates interplay) is
+covered by the flag-matrix lattice cases (test_flag_matrix.py
+simhash_neardup / simhash_remove_dups / simhash_chunk_cap)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bmpp import corpus, rules
+from bmpp.pipeline import build_plan
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    return corpus.corpus_df(spark, N, partitions=8)  # keeps `plant`
+
+
+def _flagged(spark, src, cfg):
+    out = build_plan(src.drop("plant"), cfg)
+    plants = src.select(
+        F.concat_ws(
+            "@", F.concat_ws("/", "repo", "path"), "commit"
+        ).alias("doc_key"),
+        "plant",
+    )
+    return out.join(plants, "doc_key").collect()
+
+
+def test_chunk_bucket_cap_binds(spark, src):
+    """cap=2 must actually change results on this corpus (otherwise
+    the simhash_chunk_cap lattice case proves nothing)."""
+    base = _flagged(spark, src, rules.PipelineConfig(neardup_algo="simhash"))
+    capped = _flagged(
+        spark, src,
+        rules.PipelineConfig(neardup_algo="simhash", simhash_chunk_bucket_cap=2),
+    )
+    n_base = sum(1 for r in base if r["near_dup_of"] is not None)
+    n_cap = sum(1 for r in capped if r["near_dup_of"] is not None)
+    assert 0 < n_cap < n_base, (n_cap, n_base)
+
+
+def test_planted_near_dups_recalled(spark, src):
+    """SimHash is the small-edit detector: a solid majority of the
+    planted near_dup rows sit within hamming ≤ 3 of their source
+    (larger edits legitimately escape — that's the MinHash/SimHash
+    trade, not a bug)."""
+    rows = [
+        r
+        for r in _flagged(
+            spark, src, rules.PipelineConfig(neardup_algo="simhash")
+        )
+        if r["plant"] == "near_dup"
+    ]
+    assert rows
+    recall = sum(1 for r in rows if r["near_dup_of"] is not None) / len(rows)
+    assert recall >= 0.5, recall
+
+
+def test_no_cartesian_in_simhash_plan(spark, src):
+    from tests.conftest import plan_of
+
+    plan = plan_of(
+        build_plan(
+            src.drop("plant"),
+            rules.PipelineConfig(neardup_algo="simhash"),
+            materialize=False,
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_invalid_algo_rejected():
+    with pytest.raises(ValueError, match="neardup_algo"):
+        rules.PipelineConfig(neardup_algo="xxhash")
+
+
+def test_streaming_rejects_simhash_config(spark, tmp_path):
+    from bmpp.streaming import stream_neardup_flags
+
+    cfg = rules.PipelineConfig(neardup_algo="simhash")
+    with pytest.raises(ValueError, match="MinHash"):
+        stream_neardup_flags(spark, str(tmp_path), "repo string", cfg=cfg)
+
+
+def test_profile_reaches_simhash():
+    from bmpp.profiles import get_profile
+
+    assert get_profile("simhash_neardup").neardup_algo == "simhash"
+
+
+def test_cli_flags_reach_simhash(spark, tmp_path):
+    """End-to-end CLI run with the new flags (VERDICT r4 item 5: the
+    knob must be reachable from run_pipeline, not just the dataclass):
+    the config hash must reflect the overrides and the capped run must
+    flag fewer near-dups than the uncapped one."""
+    import json
+
+    from run_pipeline import main
+
+    reports = {}
+    for name, extra in {
+        "plain": [],
+        "capped": ["--simhash-chunk-cap", "2"],
+    }.items():
+        out = tmp_path / name
+        rc = main(
+            ["--input", "synth:400", "--output", str(out),
+             "--neardup-algo", "simhash"] + extra
+        )
+        assert rc == 0
+        reports[name] = json.loads((out / "run_report.json").read_text())
+    assert reports["plain"]["config_hash"] != reports["capped"]["config_hash"]
+    assert 0 < reports["capped"]["near_dups"] < reports["plain"]["near_dups"]
