@@ -35,10 +35,18 @@ PAIRS = [(n, 4 * n) for n in LEVELS if 4 * n in LEVELS]
 CORPUS = Path(f"/tmp/bmpp_scale_corpus_{ROWS}")
 REPS = 2
 PROTOCOL = "8m-splits-shm-noop-v3-saltedjoin"  # bump when confs OR the engine change (walls merge across invocations)
-# measured by scripts/host_ceiling.py on this VM (quiet box, best-of-2,
-# 2026-08-16): what a perfectly parallel shared-nothing numpy workload
-# achieves — walls {1: 32.4, 2: 16.5, 4: 8.4, 8: 5.3}s
-CEILING = {"1->4": 0.966, "2->8": 0.776}
+# measured by scripts/host_ceiling.py on this VM: what a perfectly
+# parallel shared-nothing numpy workload achieves. Re-measured r5
+# (2026-08-17, two runs, best-of-4 walls {1: 26.8, 2: 13.31, 4: 7.16,
+# 8: 3.43}s): on a genuinely quiet box this host scales near-linearly
+# to 8 procs — the 0.776 recorded on 2026-08-16 was a bandwidth-noisy
+# day, not a stable hardware property. The probe's OWN efficiency
+# swings ±0.1-0.25 across runs (observed 2->8: 0.755, 1.02 the same
+# hour), so treat E* as same-day context, not a strict bound: engine
+# walls are best-of-16 merged across many sessions (picking the
+# quietest moments) while the probe gets best-of-4, which alone can
+# push E/E* slightly above 1.
+CEILING = {"1->4": 0.936, "2->8": 0.970}
 
 
 def ensure_corpus() -> None:
@@ -175,16 +183,21 @@ def main() -> None:
     lines += [
         "",
         f"- PRIMARY gate pair **{gate_key} cores**: E = **{gate}** "
-        f"(gate ≥ 0.8: {'PASS' if gate >= 0.8 else 'FAIL'}). At 1→4 cores",
-        "  the box's shared memory controller is below saturation (the",
-        "  pure-numpy shared-nothing ceiling, scripts/host_ceiling.py, is",
-        f"  {CEILING['1->4']} there), so this pair isolates ENGINE scaling —",
-        "  the quantity the north rule's N→4N *executor* criterion is",
+        f"(gate ≥ 0.8: {'PASS' if gate >= 0.8 else 'FAIL'}) — the",
+        "  quantity the north rule's N→4N *executor* criterion is",
         "  about, since cluster nodes each bring their own memory",
         "  controller and local disks.",
-        "- 2→8 is reported as saturation context: the same workload that",
-        f"  is perfectly parallel in numpy only reaches E={CEILING['2->8']} there —",
-        "  the gap is the host's memory system, not engine coordination.",
+        "- Host ceiling E* (scripts/host_ceiling.py, pure-numpy shared-",
+        f"  nothing probe; re-measured 2026-08-17): {CEILING['1->4']} at 1→4,",
+        f"  {CEILING['2->8']} at 2→8 from best-of-4 walls. E* is same-day",
+        "  CONTEXT, not a strict bound: the probe's own efficiency swings",
+        "  ±0.1-0.25 across runs on this shared VM (observed 2→8 probe E",
+        "  of 0.755 and 1.02 within the same hour), and engine walls are",
+        "  best-of-16 merged across sessions while the probe is best-of-4",
+        "  — so E/E* near or slightly above 1 reads 'at the hardware",
+        "  limit within host noise'. (The 0.776 ceiling recorded",
+        "  2026-08-16 was a bandwidth-noisy day, which is why round-4's",
+        "  engine E=0.868 'exceeded' it.)",
         "- outputs identical across all levels (kept/dup/scrub counts",
         "  above; all operators deterministic under any partitioning).",
         "",
@@ -201,6 +214,7 @@ def main() -> None:
         "efficiency": gate,
         "rows": ROWS,
         "protocol": PROTOCOL,
+        "ceiling_measured": "2026-08-17",
     }
     (REPO / "BENCH" / "scaling.json").write_text(json.dumps(summary))
     print(json.dumps(summary))

