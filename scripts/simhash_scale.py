@@ -1,0 +1,109 @@
+"""SimHash pipeline throughput at the scaling-corpus size.
+
+Runs the IDENTICAL spark-submit job the scaling ladder uses (400k-row
+corpus, noop sink, production-shaped confs) once per near-dup
+algorithm at local[8], so the new `neardup_algo="simhash"` path has a
+measured at-scale wall next to the MinHash default instead of only
+sf0.001-scale pytest evidence. Best-of walls merge across invocations
+per algo (same discipline as scripts/scaling_bench.py).
+
+Writes BENCH/simhash_400k.json.
+Run (quiet box): python scripts/simhash_scale.py [rows]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+CORPUS = Path(f"/tmp/bmpp_scale_corpus_{ROWS}")
+CORES = 8
+OUT = REPO / "BENCH" / "simhash_400k.json"
+PROTOCOL = "8m-splits-shm-noop-v1-simhash"
+
+
+def ensure_corpus() -> None:
+    if (CORPUS / "_SUCCESS").exists():
+        return
+    sys.path.insert(0, str(REPO))
+    from bmpp import corpus
+    from bmpp.session import get_spark
+
+    spark = get_spark(app="gen", cores=32)
+    corpus.corpus_df(spark, ROWS, partitions=128).drop("plant").write.mode(
+        "overwrite"
+    ).parquet(str(CORPUS))
+    spark.stop()
+
+
+def run(algo: str) -> dict:
+    zip_path = "/tmp/bmpp_scale.zip"
+    subprocess.run(["zip", "-qr", zip_path, "bmpp"], cwd=REPO, check=True)
+    t0 = time.time()
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", f"local[{CORES}]",
+            "--conf", f"spark.sql.shuffle.partitions={CORES}",
+            "--conf", "spark.sql.adaptive.enabled=true",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.driver.memory=16g",
+            "--conf", "spark.local.dir=/dev/shm/bmpp_spark",
+            "--conf", "spark.sql.files.maxPartitionBytes=8m",
+            "--conf", "spark.sql.files.openCostInBytes=524288",
+            "--py-files", zip_path,
+            str(REPO / "run_pipeline.py"),
+            "--input", str(CORPUS),
+            "--output", f"/tmp/bmpp_simhash_out_{algo}",
+            "--sink", "noop",
+            "--neardup-algo", algo,
+        ],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    report["algo"] = algo
+    report["wall_total_incl_startup"] = round(time.time() - t0, 2)
+    return report
+
+
+def main() -> None:
+    ensure_corpus()
+    prev = {}
+    if OUT.exists():
+        old = json.loads(OUT.read_text())
+        if old.get("rows") == ROWS and old.get("protocol") == PROTOCOL:
+            prev = old.get("algos", {})
+    algos = {}
+    for algo in ("minhash", "simhash"):
+        r = run(algo)
+        walls = sorted(
+            set([r["wall_sec"]] + prev.get(algo, {}).get("all_walls", []))
+        )
+        algos[algo] = {
+            "wall_sec": walls[0],
+            "all_walls": walls,
+            "rows_per_sec": round(ROWS / walls[0], 1),
+            "kept": r["kept"],
+            "dups": r["dups"],
+            "near_dups": r["near_dups"],
+        }
+    summary = {
+        "rows": ROWS,
+        "cores": CORES,
+        "protocol": PROTOCOL,
+        "algos": algos,
+        "simhash_vs_minhash_wall_ratio": round(
+            algos["simhash"]["wall_sec"] / algos["minhash"]["wall_sec"], 3
+        ),
+    }
+    OUT.write_text(json.dumps(summary))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

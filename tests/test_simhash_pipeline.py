@@ -77,6 +77,22 @@ def test_no_cartesian_in_simhash_plan(spark, src):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_enrich_is_single_arrow_pass(spark, src):
+    """The fingerprint must ride the ONE fused enrich UDF (a second
+    ArrowEvalPython would re-ship content to Python — the exact cost
+    the fused architecture exists to avoid)."""
+    import re
+
+    from bmpp.pipeline import enrich
+    from tests.conftest import plan_of
+
+    plan = plan_of(
+        enrich(src.drop("plant"), rules.PipelineConfig(neardup_algo="simhash"))
+    )
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "Exchange" not in plan
+
+
 def test_invalid_algo_rejected():
     with pytest.raises(ValueError, match="neardup_algo"):
         rules.PipelineConfig(neardup_algo="xxhash")
