@@ -7,6 +7,16 @@ measured at-scale wall next to the MinHash default instead of only
 sf0.001-scale pytest evidence. Best-of walls merge across invocations
 per algo (same discipline as scripts/scaling_bench.py).
 
+The simhash leg runs WITH --simhash-chunk-cap 256: this synthetic
+corpus is mass-templated (the degenerate case the cap exists for —
+measured at 20k rows: top 16-bit chunk bucket holds 1,908 of 17,152
+exact-dup survivors; 6.3M candidate pairs, growing quadratically to
+~2.5B at 400k rows, which is an unbounded-join wall, not a plan flaw).
+The cap bounds per-bucket candidates at cap^2 deterministically;
+real-code corpora with such template mass want exactly this knob (or
+MinHash, whose band hashes split template families by content overlap
+rather than fingerprint locality).
+
 Writes BENCH/simhash_400k.json.
 Run (quiet box): python scripts/simhash_scale.py [rows]
 """
@@ -24,7 +34,7 @@ ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
 CORPUS = Path(f"/tmp/bmpp_scale_corpus_{ROWS}")
 CORES = 8
 OUT = REPO / "BENCH" / "simhash_400k.json"
-PROTOCOL = "8m-splits-shm-noop-v1-simhash"
+PROTOCOL = "8m-splits-shm-noop-v2-simhash-cap256"
 
 
 def ensure_corpus() -> None:
@@ -61,8 +71,12 @@ def run(algo: str) -> dict:
             "--input", str(CORPUS),
             "--output", f"/tmp/bmpp_simhash_out_{algo}",
             "--sink", "noop",
-            "--neardup-algo", algo,
-        ],
+        ]
+        + (
+            ["--neardup-algo", "simhash", "--simhash-chunk-cap", "256"]
+            if algo.startswith("simhash")
+            else ["--neardup-algo", algo]
+        ),
         capture_output=True, text=True, check=True, cwd=REPO,
     )
     report = json.loads(proc.stdout.strip().splitlines()[-1])
@@ -79,7 +93,7 @@ def main() -> None:
         if old.get("rows") == ROWS and old.get("protocol") == PROTOCOL:
             prev = old.get("algos", {})
     algos = {}
-    for algo in ("minhash", "simhash"):
+    for algo in ("minhash", "simhash_cap256"):
         r = run(algo)
         walls = sorted(
             set([r["wall_sec"]] + prev.get(algo, {}).get("all_walls", []))
@@ -98,7 +112,13 @@ def main() -> None:
         "protocol": PROTOCOL,
         "algos": algos,
         "simhash_vs_minhash_wall_ratio": round(
-            algos["simhash"]["wall_sec"] / algos["minhash"]["wall_sec"], 3
+            algos["simhash_cap256"]["wall_sec"]
+            / algos["minhash"]["wall_sec"], 3
+        ),
+        "uncapped_note": (
+            "uncapped simhash degenerates on this mass-templated corpus: "
+            "at 20k rows the top chunk bucket holds 1908/17152 survivors "
+            "(6.3M candidate pairs, ~quadratic growth); the cap bounds it"
         ),
     }
     OUT.write_text(json.dumps(summary))
