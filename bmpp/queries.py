@@ -1572,13 +1572,22 @@ def q_simhash(spark, sf_dir):
 
 def _simhash_bits_py(texts):
     """md5-vote SimHash kernel (module-level: Spark 4 cannot resolve
-    pandas type hints on functions nested inside another function)."""
+    pandas type hints on functions nested inside another function).
+
+    Per-batch gram→digest cache: code corpora repeat 4-grams heavily
+    (templates, keywords, indentation), so distinct grams per Arrow
+    batch are a small fraction of total gram occurrences — caching the
+    md5 digest per DISTINCT gram removes most hashlib calls while
+    keeping the spec bit-identical (votes still count every
+    occurrence). The cache lives for one UDF invocation: bounded by
+    the batch's distinct grams, nothing leaks across batches."""
     import hashlib
 
     import numpy as np
     import pandas as pd
 
     ks = np.arange(4, dtype=np.uint8)
+    md5_of: dict[str, bytes] = {}
     out = []
     for t in texts:
         t = (t if isinstance(t, str) else "").lower()
@@ -1586,10 +1595,15 @@ def _simhash_bits_py(texts):
         if n < 1:
             out.append("0" * 64)
             continue
-        dig = b"".join(
-            hashlib.md5(t[i : i + 4].encode("utf-8")).digest()[:8]
-            for i in range(n)
-        )
+        digs = []
+        for i in range(n):
+            g = t[i : i + 4]
+            d = md5_of.get(g)
+            if d is None:
+                d = hashlib.md5(g.encode("utf-8")).digest()[:8]
+                md5_of[g] = d
+            digs.append(d)
+        dig = b"".join(digs)
         b = np.frombuffer(dig, dtype=np.uint8).reshape(n, 8)
         nib = np.empty((n, 16), dtype=np.uint8)
         nib[:, 0::2] = b >> 4   # hex digit 2j+1 = high nibble of byte j
