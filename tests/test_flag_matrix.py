@@ -72,6 +72,12 @@ CASES = {
     "simhash_chunk_cap": rules.PipelineConfig(
         neardup_algo="simhash", simhash_chunk_bucket_cap=2
     ),
+    # negative space: the alternate algorithm's R_NEAR_DUP drop must
+    # interact correctly with chunk inheritance in the same run
+    "simhash_remove_dups_split": rules.PipelineConfig(
+        neardup_algo="simhash", remove_duplicates=True,
+        do_split=True, split_max_lines=20,
+    ),
 }
 
 
