@@ -86,12 +86,13 @@ def hamming_flags(
     b = chunks.select(
         "c", "chunk", F.col(key_col).alias("_kb"), f.alias("_fb")
     )
-    cand = (
-        a.join(b, ["c", "chunk"])
-        .filter(F.col("_ka") < F.col("_kb"))
-        .select("_ka", "_kb", "_fa", "_fb")
-        .distinct()
-    )
+    # NO distinct() on the candidate pairs: a pair colliding in k ≤ 4
+    # chunks appears k times, but min() is duplicate-insensitive, so a
+    # dedup would only avoid ≤3 cheap bit_count re-evaluations at the
+    # cost of a full extra shuffle of the LARGEST intermediate in the
+    # stage — and without it the final aggregate gets map-side partial
+    # combine on the verified pairs instead.
+    cand = a.join(b, ["c", "chunk"]).filter(F.col("_ka") < F.col("_kb"))
     ham = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
     return (
         cand.filter(ham <= max_hamming)

@@ -1394,7 +1394,8 @@ FROM events GROUP BY 1, 2
 
 
 # ---- model-backed / engine-specific ops (oracles via frozen
-# fixtures where deterministic; approx_aggs stays rows-only) ----
+# fixtures — langid, minhash bands, multimodal, and the approx_aggs
+# sketches, which are deterministic once merge order is pinned) ----
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1579,8 +1580,11 @@ def _simhash_bits_py(texts):
     batch are a small fraction of total gram occurrences — caching the
     md5 digest per DISTINCT gram removes most hashlib calls while
     keeping the spec bit-identical (votes still count every
-    occurrence). The cache lives for one UDF invocation: bounded by
-    the batch's distinct grams, nothing leaks across batches."""
+    occurrence). The cache lives for one UDF invocation and is
+    additionally size-capped: on high-entropy content (minified/packed
+    blobs) distinct grams approach total grams and an uncapped dict
+    would balloon toward GBs for zero hit rate — at the cap it resets,
+    degrading gracefully to the uncached cost."""
     import hashlib
 
     import numpy as np
@@ -1595,6 +1599,8 @@ def _simhash_bits_py(texts):
         if n < 1:
             out.append("0" * 64)
             continue
+        if len(md5_of) > 1_000_000:  # ~100 MB worst case → reset
+            md5_of.clear()
         digs = []
         for i in range(n):
             g = t[i : i + 4]

@@ -1,0 +1,51 @@
+"""Shared corpus + spark-submit conf recipe for the at-scale
+measurement scripts (scaling_bench.py, simhash_scale.py) — one source
+of truth so "runs the IDENTICAL job" claims stay true by construction.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def corpus_path(rows: int) -> Path:
+    return Path(f"/tmp/bmpp_scale_corpus_{rows}")
+
+
+def ensure_corpus(rows: int) -> Path:
+    """Deterministic pipeline corpus at ``rows`` (generated once per
+    size, shared by every measurement script)."""
+    corpus_dir = corpus_path(rows)
+    if (corpus_dir / "_SUCCESS").exists():
+        return corpus_dir
+    sys.path.insert(0, str(REPO))
+    from bmpp import corpus
+    from bmpp.session import get_spark
+
+    spark = get_spark(app="gen", cores=32)
+    corpus.corpus_df(spark, rows, partitions=128).drop("plant").write.mode(
+        "overwrite"
+    ).parquet(str(corpus_dir))
+    spark.stop()
+    return corpus_dir
+
+
+def submit_confs(cores: int) -> list[str]:
+    """The measurement-protocol spark-submit conf block (rationale in
+    scripts/scaling_bench.py's docstring: RAM-backed local dirs because
+    this host has one disk; 8 MB splits because the small corpus files
+    otherwise pack into too few scan partitions — at production scale
+    the 128 MB default is correct)."""
+    return [
+        "--master", f"local[{cores}]",
+        "--conf", f"spark.sql.shuffle.partitions={cores}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.memory=16g",
+        "--conf", "spark.local.dir=/dev/shm/bmpp_spark",
+        "--conf", "spark.sql.files.maxPartitionBytes=8m",
+        "--conf", "spark.sql.files.openCostInBytes=524288",
+    ]

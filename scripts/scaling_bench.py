@@ -26,7 +26,8 @@ import sys
 import time
 from pathlib import Path
 
-REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from scale_common import REPO, corpus_path, ensure_corpus, submit_confs
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
 LEVELS = (  # non-numeric tokens (e.g. "render") → run nothing,
     # just re-render BASELINE.md/scaling.json from stored history
@@ -34,7 +35,7 @@ LEVELS = (  # non-numeric tokens (e.g. "render") → run nothing,
     if len(sys.argv) > 2
     else [1, 2, 4, 8]
 )
-CORPUS = Path(f"/tmp/bmpp_scale_corpus_{ROWS}")
+CORPUS = corpus_path(ROWS)
 # reps per level per invocation (walls merge ACROSS invocations, so
 # several REPS=1 invocations equal one REPS=N run — useful when the
 # harness bounds a single command's runtime)
@@ -54,49 +55,20 @@ PROTOCOL = "8m-splits-shm-noop-v3-saltedjoin"  # bump when confs OR the engine c
 CEILING = {"1->4": 0.936, "2->8": 0.970}
 
 
-def ensure_corpus() -> None:
-    if (CORPUS / "_SUCCESS").exists():
-        return
-    sys.path.insert(0, str(REPO))
-    from bmpp import corpus
-    from bmpp.session import get_spark
-
-    spark = get_spark(app="gen", cores=32)
-    corpus.corpus_df(spark, ROWS, partitions=128).drop("plant").write.mode(
-        "overwrite"
-    ).parquet(str(CORPUS))
-    spark.stop()
-
-
 def run_level(cores: int) -> dict:
     zip_path = "/tmp/bmpp_scale.zip"
     subprocess.run(["zip", "-qr", zip_path, "bmpp"], cwd=REPO, check=True)
     out_dir = f"/tmp/bmpp_scale_out_{cores}"
     t0 = time.time()
+    # conf rationale lives in scale_common.submit_confs: RAM-backed
+    # local dirs (one physical disk here, per-executor disks on a real
+    # cluster) + 8 MB splits (small corpus files otherwise pack into
+    # too few scan partitions and a ragged last wave corrupts the
+    # N→4N ratio; at production scale the 128 MB default is correct)
     proc = subprocess.run(
-        [
-            "spark-submit",
-            "--master", f"local[{cores}]",
-            "--conf", f"spark.sql.shuffle.partitions={cores}",
-            "--conf", "spark.sql.adaptive.enabled=true",
-            "--conf", "spark.ui.enabled=false",
-            "--conf", "spark.driver.memory=16g",
-            # tmpfs for shuffle/cache blocks: the sandbox has ONE
-            # physical disk, which serializes block IO and poisons the
-            # scaling measurement with a constant term; a real cluster
-            # has per-executor local disks. RAM-backed local dirs make
-            # block IO scale with cores, like a cluster's.
-            "--conf", "spark.local.dir=/dev/shm/bmpp_spark",
-            # task granularity at SMALL scale: the corpus is ~128
-            # 5 MB files, which the default 128 MB maxPartitionBytes +
-            # 4 MB openCost pack into ~10 scan partitions TOTAL — a
-            # ragged last wave (8+2 tasks at local[8]) then dominates
-            # the wall and corrupts the N→4N ratio. 8 MB splits keep
-            # ≥5 waves per core at every level. At production scale
-            # (thousands of full 128 MB splits per executor) the
-            # default is correct and this knob is a no-op concern.
-            "--conf", "spark.sql.files.maxPartitionBytes=8m",
-            "--conf", "spark.sql.files.openCostInBytes=524288",
+        ["spark-submit"]
+        + submit_confs(cores)
+        + [
             "--py-files", zip_path,
             str(REPO / "run_pipeline.py"),
             "--input", str(CORPUS),
@@ -113,8 +85,10 @@ def run_level(cores: int) -> dict:
 
 
 def main() -> None:
-    ensure_corpus()
-    corpus_bytes = sum(f.stat().st_size for f in CORPUS.glob("*.parquet"))
+    corpus_bytes = None
+    if LEVELS:  # render-only invocations must not regenerate 227 MB
+        ensure_corpus(ROWS)
+        corpus_bytes = sum(f.stat().st_size for f in CORPUS.glob("*.parquet"))
     # the sandbox VM shows ±30% run-to-run noise (shared hypervisor);
     # take the best of REPS runs per level — standard practice for
     # latency measurement on noisy hosts; outputs are verified equal.
@@ -135,6 +109,8 @@ def main() -> None:
                 int(k): sorted(set(v))
                 for k, v in prev.get("all_walls", {}).items()
             }
+            if corpus_bytes is None:
+                corpus_bytes = prev.get("corpus_bytes")
             for k, v in prev.get("walls", {}).items():
                 hist.setdefault(int(k), []).append(v)
             outs = {
@@ -161,7 +137,7 @@ def main() -> None:
             "Protocol per BASELINE.md: identical `spark-submit --py-files` job",
             "(full pipeline: filter→dedup→near-dup→score→scrub→final metrics)",
             f"over the same deterministic corpus ({ROWS:,} rows,",
-            f"{corpus_bytes / 1e6:.0f} MB parquet), AQE on, shuffle partitions",
+            f"{(corpus_bytes or 0) / 1e6:.0f} MB parquet), AQE on, shuffle partitions",
             "= cores, RAM-backed spark.local.dir. Host: 32 physical cores,",
             "1 thread/core. The final parquet write runs in noop mode: this",
             "host has ONE disk, so the output write is IO-bound and constant",
@@ -169,7 +145,7 @@ def main() -> None:
             "(a real cluster writes through N executors in parallel).",
             "",
             "| level | pipeline wall (s) | rows/sec | kept | dups | scrubs |",
-            "| --- | --- | --- | --- | --- |",
+            "| --- | --- | --- | --- | --- | --- |",
         ]
         for c in levels:
             kept, dups, scrubs = outs.get(c, fallback) or ("?", "?", "?")
@@ -213,10 +189,12 @@ def main() -> None:
                 "- Merged walls are each level's best across sessions on a",
                 "  ±30-50% noisy shared VM, so a pair can move between rounds",
                 "  without any engine change when ONE level lands a lucky run",
-                "  (r5: local[2] improved 204.6→187.3 on a day local[8] could",
-                "  not beat its historic 58.95, moving E(2→8) 0.868→0.794;",
-                "  identical kept/dup/scrub counts at every level prove the",
-                "  engine itself is unchanged).",
+                "  (historical example, figures as of r5 2026-08-17: local[2]",
+                "  improved 204.6→187.3 on a day local[8] could not beat its",
+                "  then-best 58.95, moving E(2→8) 0.868→0.794; identical",
+                "  kept/dup/scrub counts at every level proved the engine",
+                "  itself unchanged — the table above always carries the",
+                "  CURRENT merged numbers).",
                 "- outputs identical across all levels (kept/dup/scrub counts",
                 "  above; all operators deterministic under any partitioning).",
                 "",
@@ -233,6 +211,7 @@ def main() -> None:
             "gate_pair": gate_key,
             "efficiency": gate,
             "rows": ROWS,
+            "corpus_bytes": corpus_bytes,
             "protocol": PROTOCOL,
             "ceiling_measured": "2026-08-17",
         }

@@ -29,26 +29,16 @@ import sys
 import time
 from pathlib import Path
 
-REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from scale_common import REPO, corpus_path, ensure_corpus, submit_confs
+
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
-CORPUS = Path(f"/tmp/bmpp_scale_corpus_{ROWS}")
+CORPUS = corpus_path(ROWS)
 CORES = 8
-OUT = REPO / "BENCH" / "simhash_400k.json"
+# per-size artifact: an exploratory run at another row count must not
+# clobber the 400k evidence or its merged-wall history
+OUT = REPO / "BENCH" / f"simhash_{ROWS // 1000}k.json"
 PROTOCOL = "8m-splits-shm-noop-v2-simhash-cap256"
-
-
-def ensure_corpus() -> None:
-    if (CORPUS / "_SUCCESS").exists():
-        return
-    sys.path.insert(0, str(REPO))
-    from bmpp import corpus
-    from bmpp.session import get_spark
-
-    spark = get_spark(app="gen", cores=32)
-    corpus.corpus_df(spark, ROWS, partitions=128).drop("plant").write.mode(
-        "overwrite"
-    ).parquet(str(CORPUS))
-    spark.stop()
 
 
 def run(algo: str) -> dict:
@@ -56,16 +46,9 @@ def run(algo: str) -> dict:
     subprocess.run(["zip", "-qr", zip_path, "bmpp"], cwd=REPO, check=True)
     t0 = time.time()
     proc = subprocess.run(
-        [
-            "spark-submit",
-            "--master", f"local[{CORES}]",
-            "--conf", f"spark.sql.shuffle.partitions={CORES}",
-            "--conf", "spark.sql.adaptive.enabled=true",
-            "--conf", "spark.ui.enabled=false",
-            "--conf", "spark.driver.memory=16g",
-            "--conf", "spark.local.dir=/dev/shm/bmpp_spark",
-            "--conf", "spark.sql.files.maxPartitionBytes=8m",
-            "--conf", "spark.sql.files.openCostInBytes=524288",
+        ["spark-submit"]
+        + submit_confs(CORES)  # the ladder's exact conf block
+        + [
             "--py-files", zip_path,
             str(REPO / "run_pipeline.py"),
             "--input", str(CORPUS),
@@ -86,7 +69,7 @@ def run(algo: str) -> dict:
 
 
 def main() -> None:
-    ensure_corpus()
+    ensure_corpus(ROWS)
     prev = {}
     if OUT.exists():
         old = json.loads(OUT.read_text())
