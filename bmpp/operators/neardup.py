@@ -81,9 +81,19 @@ def near_flags(
         pairs, "band_hash", "doc_key", cfg.dedup_salt_buckets
     )
 
-    return (
-        salted_join(pairs, buckets, "band_hash", "doc_key")
-        .filter(F.col("doc_key") != F.col("_rep"))
-        .groupBy("doc_key")
-        .agg(F.min("_rep").alias("near_dup_of"))
+    hits = salted_join(pairs, buckets, "band_hash", "doc_key").filter(
+        F.col("doc_key") != F.col("_rep")
     )
+    k = cfg.neardup_min_band_matches
+    if k > 1:
+        # LSH precision knob (the classic r-of-b policy): a doc is
+        # flagged against a rep only when they collide in ≥ k bands —
+        # single-band coincidences are dropped. Extra agg keys on
+        # (doc_key, rep): doc_key keeps the key-space un-skewed, and
+        # the count gets map-side partial combine like the final min.
+        hits = (
+            hits.groupBy("doc_key", "_rep")
+            .agg(F.count(F.lit(1)).alias("_matches"))
+            .filter(F.col("_matches") >= k)
+        )
+    return hits.groupBy("doc_key").agg(F.min("_rep").alias("near_dup_of"))

@@ -201,6 +201,7 @@ def process(rows: list[dict], cfg: rules.PipelineConfig | None = None) -> list[d
             }
         members = {bh: set(ks) for bh, ks in buckets.items()}
         rep_of = {bh: min(ks) for bh, ks in buckets.items() if len(ks) > 1}
+        kmin = cfg.neardup_min_band_matches
         for o in out:
             cands = [
                 rep_of[bh]
@@ -209,6 +210,14 @@ def process(rows: list[dict], cfg: rules.PipelineConfig | None = None) -> list[d
                 and o["doc_key"] in members[bh]
                 and rep_of[bh] != o["doc_key"]
             ]
+            if kmin > 1:
+                # r-of-b precision policy, mirroring near_flags: only
+                # reps colliding with this doc in ≥ kmin bands qualify
+                from collections import Counter
+
+                cands = [
+                    r for r, c in Counter(cands).items() if c >= kmin
+                ]
             o["near_dup_of"] = min(cands) if cands else None
             if o["near_dup_of"] is not None and cfg.remove_duplicates:
                 o["_reasons"].add(rules.R_NEAR_DUP)

@@ -212,6 +212,12 @@ class PipelineConfig:
     # when the cap binds, pruned members are simply not flagged via
     # that band — same results-change semantics as GATK downsampling.
     neardup_bucket_cap: int | None = None
+    # LSH precision (r-of-b policy): flag a doc against a bucket rep
+    # only when they collide in ≥ this many bands; 1 = classic any-band
+    # flagging. Raising it trades recall for precision on corpora
+    # where single-band coincidences are common. Batch-only like the
+    # cap (the streaming operator's state is per band bucket).
+    neardup_min_band_matches: int = 1
     # --- user-composable escape hatches (additionalParams analog:
     # every reference task takes free-form extra params / composable
     # --read-filter lists, wdl:277,283,291,331,407) ---
@@ -231,6 +237,11 @@ class PipelineConfig:
             raise ValueError(
                 f"neardup_algo must be 'minhash' or 'simhash', "
                 f"got {self.neardup_algo!r}"
+            )
+        if self.neardup_min_band_matches < 1:
+            raise ValueError(
+                "neardup_min_band_matches must be ≥ 1, got "
+                f"{self.neardup_min_band_matches}"
             )
 
     def config_hash(self) -> str:

@@ -414,6 +414,14 @@ def stream_neardup_flags(
             "would silently diverge from the batch semantics) — run the "
             "batch near_flags for capped configs"
         )
+    if cfg.neardup_min_band_matches > 1:
+        raise ValueError(
+            "stream_neardup_flags: neardup_min_band_matches is a "
+            "batch-only knob (state here is per band bucket; counting "
+            "collisions per (doc, rep) across bands needs a second "
+            "stateful stage) — run the batch near_flags for r-of-b "
+            "configs"
+        )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

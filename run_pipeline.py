@@ -56,6 +56,12 @@ def main(argv=None) -> int:
         "--downsampling_type safety valve for degenerate groups)",
     )
     p.add_argument(
+        "--neardup-min-band-matches", type=int, default=None, metavar="K",
+        help="minhash mode: flag a doc against a bucket rep only when "
+        "they collide in >= K LSH bands (r-of-b precision policy; "
+        "default 1 = any-band flagging)",
+    )
+    p.add_argument(
         "--simhash-max-hamming", type=int, default=None, metavar="D",
         help="simhash mode: verified hamming radius (default 3)",
     )
@@ -122,6 +128,8 @@ def main(argv=None) -> int:
         overrides["neardup_algo"] = args.neardup_algo
     if args.neardup_bucket_cap is not None:
         overrides["neardup_bucket_cap"] = args.neardup_bucket_cap
+    if args.neardup_min_band_matches is not None:
+        overrides["neardup_min_band_matches"] = args.neardup_min_band_matches
     if args.simhash_max_hamming is not None:
         overrides["simhash_max_hamming"] = args.simhash_max_hamming
     if args.simhash_chunk_cap is not None:

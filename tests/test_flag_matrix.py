@@ -78,6 +78,16 @@ CASES = {
         neardup_algo="simhash", remove_duplicates=True,
         do_split=True, split_max_lines=20,
     ),
+    # LSH precision policy (r-of-b): require ≥2 band collisions per
+    # (doc, rep) before flagging — BINDS on this corpus (one
+    # single-band coincidence unflagged, proven by test_neardup_cap)
+    "min_band_matches": rules.PipelineConfig(neardup_min_band_matches=2),
+    # ... and stacked with the hot-bucket cap, so the two knobs'
+    # interaction (cap prunes members BEFORE collision counting) is
+    # oracle-checked in one run
+    "min_band_matches_capped": rules.PipelineConfig(
+        neardup_min_band_matches=2, neardup_bucket_cap=2
+    ),
 }
 
 

@@ -60,3 +60,28 @@ def test_cap_off_plan_has_no_window(spark):
     src = corpus.corpus_df(spark, 120, partitions=4).drop("plant")
     plan = build_plan(src, rules.PipelineConfig())._jdf.queryExecution().toString()
     assert "Window" not in plan
+
+
+def test_min_band_matches_binds_and_is_off_by_default(spark):
+    """neardup_min_band_matches=2 must actually change results on this
+    corpus (one single-band coincidence unflagged — otherwise the
+    min_band_matches lattice case proves nothing) and must default to
+    the classic any-band behavior."""
+    from pyspark.sql import functions as F
+
+    from bmpp.pipeline import build_plan
+
+    src = corpus.corpus_df(spark, 400, partitions=8).drop("plant")
+
+    def n_flagged(cfg):
+        return (
+            build_plan(src, cfg)
+            .filter(F.col("near_dup_of").isNotNull())
+            .count()
+        )
+
+    base = n_flagged(rules.PipelineConfig())
+    strict = n_flagged(rules.PipelineConfig(neardup_min_band_matches=2))
+    assert 0 < strict < base, (strict, base)
+    same = n_flagged(rules.PipelineConfig(neardup_min_band_matches=1))
+    assert same == base

@@ -497,3 +497,15 @@ def test_memory_sink_tables_are_reaped(spark, tmp_path_factory):
     assert len(live) <= st._MEMORY_SINK_KEEP
     # the reaped first result still collects (plan holds the sink rows)
     assert first.count() == n_first
+
+
+def test_stream_neardup_rejects_batch_only_knobs(spark, tmp_path):
+    from bmpp import rules
+    from bmpp.streaming import stream_neardup_flags
+
+    for cfg, msg in [
+        (rules.PipelineConfig(neardup_min_band_matches=2), "batch-only"),
+        (rules.PipelineConfig(neardup_algo="simhash"), "MinHash"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            stream_neardup_flags(spark, str(tmp_path), "repo string", cfg=cfg)
