@@ -69,7 +69,10 @@ def dup_groups(
     )
 
 
-JOIN_SALT = 16  # replication factor for salted_join (mega key → 1/16)
+JOIN_SALT = 16  # salted_join's standalone default; pipeline/operator
+# paths thread rules.PipelineConfig.join_salt_buckets instead so the
+# replication factor is tunable per run (1000-executor deployments
+# want a wider fan-out than the local default)
 
 
 def salted_join(
@@ -120,7 +123,9 @@ def dup_flags(slim: DataFrame, cfg: rules.PipelineConfig) -> DataFrame:
     # the probe shuffle on content_sha256 alone would put the whole
     # mega-group on one reducer; salted_join spreads it (see module
     # docstring for why AQE skew-split cannot repair this join)
-    return salted_join(slim, groups, "content_sha256", "doc_key").select(
+    return salted_join(
+        slim, groups, "content_sha256", "doc_key", salt=cfg.join_salt_buckets
+    ).select(
         "doc_key",
         (F.col("doc_key") != F.col("_rep")).alias("is_duplicate"),
         F.when(F.col("doc_key") != F.col("_rep"), F.col("_rep")).alias("dup_of"),

@@ -81,9 +81,9 @@ def near_flags(
         pairs, "band_hash", "doc_key", cfg.dedup_salt_buckets
     )
 
-    hits = salted_join(pairs, buckets, "band_hash", "doc_key").filter(
-        F.col("doc_key") != F.col("_rep")
-    )
+    hits = salted_join(
+        pairs, buckets, "band_hash", "doc_key", salt=cfg.join_salt_buckets
+    ).filter(F.col("doc_key") != F.col("_rep"))
     k = cfg.neardup_min_band_matches
     if k > 1:
         # LSH precision knob (the classic r-of-b policy): a doc is

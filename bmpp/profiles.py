@@ -33,8 +33,17 @@ PROFILES: dict[str, PipelineConfig] = {
     # splitter on top of the full default pipeline (Test8/9 analog)
     "split": PipelineConfig(do_split=True),
     # SimHash near-dup instead of MinHash (hamming fingerprint — one
-    # long per doc; the alternate optical-duplicate behavior)
-    "simhash_neardup": PipelineConfig(neardup_algo="simhash"),
+    # long per doc; the alternate optical-duplicate behavior). The
+    # chunk cap defaults ON in the profile (256, the benched config —
+    # BENCH/simhash_400k.json): scripts/simhash_scale.py measured
+    # uncapped chunk buckets degenerating quadratically on templated
+    # corpora (~2.5B candidate pairs projected at 400k rows), so the
+    # named preset ships scale-safe; construct PipelineConfig directly
+    # (or pass --simhash-chunk-cap 0 semantics via a custom config) for
+    # the exact uncapped variant.
+    "simhash_neardup": PipelineConfig(
+        neardup_algo="simhash", simhash_chunk_bucket_cap=256
+    ),
 }
 
 

@@ -183,6 +183,12 @@ class PipelineConfig:
     max_perplexity: float = MAX_PERPLEXITY
     max_toxic_hits: int = MAX_TOXIC_HITS
     dedup_salt_buckets: int = 64     # skew salt for the content-hash groupBy
+    # replication factor for the salt-replicated flag joins
+    # (operators.dedup.salted_join): a mega key fans over this many
+    # reducers; the build side is replicated this many times. At 1000
+    # executors raise it so the hottest key's share fits one task —
+    # cost is linear in the (tiny, output-proportional) build side.
+    join_salt_buckets: int = 16
     # broadcast the (doc_key → dup/near flags) table into the final
     # wide join, so the content-bearing side never shuffles. Flag-table
     # size is proportional to the duplicate rate; at extreme scale

@@ -364,6 +364,36 @@ def stream_hourly_counts(spark: SparkSession, events_dir: str) -> DataFrame:
 NEARDUP_STREAM_SCHEMA = "doc_key string, near_dup_of string"
 
 
+def reduce_neardup_candidates(
+    cands: DataFrame, min_band_matches: int = 1
+) -> DataFrame:
+    """Per-doc flag reduction over a near-dup candidate stream's output
+    (``stream_neardup_flags`` — one row per (doc, bucket) collision):
+    (doc_key, near_dup_of) with the smallest rep per doc.
+
+    ``min_band_matches`` is the r-of-b precision policy
+    (PipelineConfig.neardup_min_band_matches): keep a (doc, rep) pair
+    only when it collided in ≥ that many buckets. This consumer-side
+    aggregation is EXACT for the stream, not an approximation: all of
+    one doc's band rows explode from its single arrival row, so they
+    land in the same micro-batch and its per-(doc, rep) collision
+    counts never straddle batches — the same counts batch near_flags
+    aggregates (tested single-batch-equal for k ≥ 1; the one
+    theoretical divergence is a doc whose band array repeats a hash
+    value — batch counts band slots, the stream's per-bucket set
+    counts distinct buckets — at ~2^-64 per doc). Kept out of the
+    stateful operator itself so the stream stays a single stage
+    (chaining a second stateful agg would constrain output modes)."""
+    hits = cands
+    if min_band_matches > 1:
+        hits = (
+            hits.groupBy("doc_key", "near_dup_of")
+            .agg(F.count(F.lit(1)).alias("_matches"))
+            .filter(F.col("_matches") >= min_band_matches)
+        )
+    return hits.groupBy("doc_key").agg(F.min("near_dup_of").alias("near_dup_of"))
+
+
 def stream_neardup_flags(
     spark: SparkSession,
     input_dir: str,
@@ -371,41 +401,40 @@ def stream_neardup_flags(
     cfg: rules.PipelineConfig | None = None,
     max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
-    """Streaming MinHash near-dup flagging — the incremental form of
-    operators.neardup.near_flags for continuous corpus ingestion: each
-    arriving doc is flagged against the smallest doc_key seen SO FAR
-    in any LSH band bucket it lands in.
+    """Streaming near-dup flagging — the incremental form of the batch
+    flag stage for continuous corpus ingestion, algo-dispatched like
+    the batch pipeline (pipeline._near_flags): each arriving doc is
+    flagged against the representative seen SO FAR in any LSH bucket
+    it lands in. MinHash mode buckets by band hash
+    (operators.neardup); SimHash mode buckets by 16-bit fingerprint
+    chunk with a hamming verify (operators.simhash) — see
+    ``_stream_simhash_neardup`` for that state shape.
 
     Semantics (first-seen-wins, the streaming dedup contract):
-    - state per band bucket is just (min doc_key so far, member
-      count) — a few dozen bytes per OCCUPIED bucket, so state is
-      bounded by the number of distinct band hashes, not the corpus;
+    - state per bucket is (min doc_key so far, member count) [+ the
+      rep's 8-byte fingerprint under simhash] — a few dozen bytes per
+      OCCUPIED bucket, so state is bounded by the number of distinct
+      bucket keys, not the corpus;
     - a doc arriving after its bucket rep is flagged (doc, rep);
       a doc SMALLER than the current rep becomes the new rep and is
       not flagged — earlier docs are NOT retro-flagged (batch
       near_flags remains the ground truth for retroactive dedup, the
       same division of labor as stream_exact_dedup);
     - when all data arrives in ONE micro-batch the emitted flags,
-      min-reduced per doc (``groupBy(doc_key).agg(min(near_dup_of))``,
-      a trivial downstream batch agg), equal the batch near_flags
-      output for docs whose rep shares a band (tested).
+      reduced per doc (``reduce_neardup_candidates`` — which also
+      implements the r-of-b ``neardup_min_band_matches`` policy
+      downstream, exactly), equal the batch near_flags output for
+      docs whose rep shares a bucket (tested). Under simhash the
+      stream verifies against the BUCKET REP only (bounded state),
+      where batch hamming_flags verifies all bucket pairs — a doc
+      whose true nearest neighbor fails the rep verify is not
+      flagged via that chunk; the rep-verify semantics are themselves
+      SQL-checkable (queries.SQL_STREAM_SIMHASH oracle).
 
-    Output rows are per-(doc, band) candidates in update mode; the
-    per-doc min is left to the consumer so the stream stays a single
-    stateful operator (chaining a second stateful agg would constrain
-    output modes for no modeling gain)."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    from .udfs import make_bands_udf
-
+    Output rows are per-(doc, bucket) candidates in update mode; the
+    per-doc reduction is left to the consumer so the stream stays a
+    single stateful operator."""
     cfg = cfg or rules.PipelineConfig()
-    if cfg.neardup_algo != "minhash":
-        raise ValueError(
-            "stream_neardup_flags implements the MinHash band-bucket "
-            "stream only; run the batch pipeline for "
-            f"neardup_algo={cfg.neardup_algo!r}"
-        )
     if cfg.neardup_bucket_cap:
         raise ValueError(
             "stream_neardup_flags: neardup_bucket_cap is a batch-only "
@@ -414,14 +443,32 @@ def stream_neardup_flags(
             "would silently diverge from the batch semantics) — run the "
             "batch near_flags for capped configs"
         )
-    if cfg.neardup_min_band_matches > 1:
-        raise ValueError(
-            "stream_neardup_flags: neardup_min_band_matches is a "
-            "batch-only knob (state here is per band bucket; counting "
-            "collisions per (doc, rep) across bands needs a second "
-            "stateful stage) — run the batch near_flags for r-of-b "
-            "configs"
+    if cfg.neardup_algo == "simhash":
+        if cfg.simhash_chunk_bucket_cap:
+            raise ValueError(
+                "stream_neardup_flags: simhash_chunk_bucket_cap is a "
+                "batch-only knob (same global hash-order top-cap as "
+                "neardup_bucket_cap) — run the batch pipeline for "
+                "capped configs"
+            )
+        return _stream_simhash_neardup(
+            spark, input_dir, schema, cfg, max_files_per_trigger
         )
+    return _stream_minhash_neardup(
+        spark, input_dir, schema, cfg, max_files_per_trigger
+    )
+
+
+def _stream_minhash_neardup(
+    spark, input_dir, schema, cfg, max_files_per_trigger
+) -> DataFrame:
+    """MinHash band-bucket stateful stream (docs on
+    ``stream_neardup_flags``)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .udfs import make_bands_udf
+
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -448,6 +495,92 @@ def stream_neardup_flags(
         update,
         NEARDUP_STREAM_SCHEMA,
         "rep string, n long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(plan, "update")
+
+
+def _stream_simhash_neardup(
+    spark, input_dir, schema, cfg, max_files_per_trigger
+) -> DataFrame:
+    """SimHash chunk-bucket stateful stream — the exact analog of the
+    MinHash band-bucket state with one addition: bucket collision is
+    necessary but NOT sufficient under simhash (pigeonhole chunks),
+    so the state also carries the rep's 64-bit fingerprint and an
+    arriving doc is flagged only when its fingerprint VERIFIES at
+    hamming ≤ cfg.simhash_max_hamming against the stored rep.
+
+    Bucket key is (chunk_idx << 16) | chunk_value — the same composite
+    the batch cap uses (operators.simhash). All-zero fingerprints
+    (texts shorter than one gram) are degenerate and never enter
+    candidate generation, mirroring batch hamming_flags.
+
+    Within a micro-batch the update function replays docs in doc_key
+    order against the running rep — identical results to one-at-a-time
+    arrival, so single-batch output is a pure function of the corpus,
+    not of file packing. Bounded state: (rep key, rep fp, count) per
+    occupied chunk bucket; verifying against members OTHER than the
+    rep would require remembering every fingerprint ever seen (the
+    batch operator's all-pairs semantics) — that unbounded-state
+    variant is exactly what the batch path is for."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .models.simhash import hamming64
+    from .udfs import simhash_udf
+
+    max_ham = cfg.simhash_max_hamming
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = with_keys(reader.parquet(input_dir))
+    fp = src.select("doc_key", simhash_udf(F.col("content")).alias("fp64"))
+    f = F.col("fp64")
+    pairs = (
+        fp.filter(f != 0)
+        .select(
+            "doc_key", "fp64",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
+        )
+        .select(
+            "doc_key", "fp64",
+            # shiftright's amount must be a literal in the Column API;
+            # the SQL form takes the per-row expression
+            F.expr(
+                "c * 65536 + (shiftright(fp64, 48 - c * 16) & 65535)"
+            ).alias("chunk_bucket"),
+        )
+    )
+
+    def update(key, pdfs, state: GroupState):
+        rep, rep_fp, n = state.get if state.exists else (None, 0, 0)
+        arrivals = sorted(
+            {
+                (k, int(v))
+                for pdf in pdfs
+                for k, v in zip(pdf["doc_key"], pdf["fp64"])
+            }
+        )
+        if not arrivals:
+            return
+        flagged = []
+        for k, v in arrivals:  # doc_key order ≡ one-at-a-time replay
+            n += 1
+            if rep is None or k < rep:
+                rep, rep_fp = k, v
+            elif hamming64(v, int(rep_fp)) <= max_ham:
+                flagged.append(k)
+        state.update((rep, rep_fp, n))
+        if flagged:
+            yield pd.DataFrame(
+                {"doc_key": flagged, "near_dup_of": [rep] * len(flagged)}
+            )
+
+    plan = pairs.groupBy("chunk_bucket").applyInPandasWithState(
+        update,
+        NEARDUP_STREAM_SCHEMA,
+        "rep string, rep_fp long, n long",
         "update",
         GroupStateTimeout.NoTimeout,
     )

@@ -83,6 +83,17 @@ def main(argv=None) -> int:
         help="extra scrub rewrite appended to the base pack "
         "(repeatable), e.g. '(?i)internal-hostname-[a-z0-9]+=<HOST>'",
     )
+    p.add_argument(
+        "--dedup-salt", type=int, default=None, metavar="S",
+        help="skew salt bucket count for the two-phase dedup/band "
+        "aggregations (default 64)",
+    )
+    p.add_argument(
+        "--join-salt", type=int, default=None, metavar="S",
+        help="replication factor for the salt-replicated flag joins "
+        "(default 16); raise on wide clusters so the hottest key's "
+        "share fits one task",
+    )
     p.add_argument("--buckets", type=int, default=32)
     p.add_argument(
         "--sink", choices=["parquet", "noop"], default="parquet",
@@ -134,6 +145,10 @@ def main(argv=None) -> int:
         overrides["simhash_max_hamming"] = args.simhash_max_hamming
     if args.simhash_chunk_cap is not None:
         overrides["simhash_chunk_bucket_cap"] = args.simhash_chunk_cap
+    if args.dedup_salt is not None:
+        overrides["dedup_salt_buckets"] = args.dedup_salt
+    if args.join_salt is not None:
+        overrides["join_salt_buckets"] = args.join_salt
     if args.keep_predicate:
         overrides["extra_keep_predicates"] = tuple(args.keep_predicate)
     if args.scrub_pattern:
@@ -145,6 +160,24 @@ def main(argv=None) -> int:
             pairs.append((pat, repl))
         overrides["extra_scrub_patterns"] = tuple(pairs)
     cfg = dataclasses.replace(base, **overrides) if overrides else base
+
+    if (
+        cfg.do_near_dedup
+        and cfg.neardup_algo == "simhash"
+        and not cfg.simhash_chunk_bucket_cap
+    ):
+        # scripts/simhash_scale.py measured uncapped chunk buckets
+        # degenerating quadratically on templated corpora (~2.5B
+        # candidate pairs projected at 400k rows); results are correct
+        # either way, but the join can wall at scale (ADVICE r5)
+        print(
+            "WARNING: simhash near-dup running WITHOUT a chunk bucket "
+            "cap — candidate generation is quadratic in the hottest "
+            "16-bit chunk bucket on templated corpora. Pass "
+            "--simhash-chunk-cap N (the simhash_neardup profile "
+            "defaults to 256) for bounded candidate volume.",
+            file=sys.stderr,
+        )
 
     if args.input.startswith("synth:"):
         df = corpus.corpus_df(spark, int(args.input.split(":", 1)[1])).drop("plant")

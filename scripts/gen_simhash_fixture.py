@@ -1,0 +1,64 @@
+"""Materialize engine SimHash fingerprints for the sf0.01 documents
+table as a parquet fixture backing the `stream_simhash_neardup` DuckDB
+oracle.
+
+Same division of labor as the minhash band fixture: only the
+FINGERPRINT COMPUTATION comes from the fixture (the engine-internal
+rolling-hash simhash64, bmpp/models/simhash.py, is deliberately not
+SQL-portable — see that module's docstring); the oracle SQL re-derives
+the entire chunk-LSH rep-verify logic — 16-bit chunk bucketing,
+min-rep election, xor+bit_count hamming verify, per-doc min flag —
+independently in DuckDB, so the correctness check exercises the
+streaming stateful operator end-to-end, not just the UDF plumbing.
+Fingerprints are a deterministic function of the frozen hash constants
+in bmpp/models/hashing.py (same simhash64 entry point as
+udfs.simhash_udf), so both sides agree by construction;
+tests/test_models.py guards staleness by recomputing a sample.
+
+Usage: python scripts/gen_simhash_fixture.py  (writes
+fixtures/simhash_fp_sf0.01.parquet: (doc_id, fp64), one row per doc
+including degenerate zero fingerprints — the SQL filters those like
+the operator does)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bmpp.models.simhash import simhash64  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT = (
+    Path(__file__).resolve().parent.parent
+    / "fixtures"
+    / "simhash_fp_sf0.01.parquet"
+)
+
+
+def main() -> None:
+    docs = (
+        pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id", kind="mergesort")
+    )
+    table = pa.table(
+        {
+            "doc_id": pa.array([int(i) for i in docs["doc_id"]], type=pa.int64()),
+            "fp64": pa.array(
+                [simhash64(t) for t in docs["text"]], type=pa.int64()
+            ),
+        }
+    )
+    OUT.parent.mkdir(exist_ok=True)
+    pq.write_table(table, OUT, compression="zstd")
+    print(f"wrote {OUT} rows={table.num_rows}")
+
+
+if __name__ == "__main__":
+    main()

@@ -29,12 +29,26 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 from scale_common import REPO, corpus_path, ensure_corpus, submit_confs
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
-LEVELS = (  # non-numeric tokens (e.g. "render") → run nothing,
-    # just re-render BASELINE.md/scaling.json from stored history
-    [int(x) for x in sys.argv[2].split(",") if x.strip().isdigit()]
-    if len(sys.argv) > 2
-    else [1, 2, 4, 8]
-)
+
+
+def _parse_levels(arg: str) -> list[int]:
+    """Levels CSV, or the explicit sentinel "render" → run nothing and
+    just re-render BASELINE.md/scaling.json from stored history. Any
+    OTHER non-numeric token is an error — silently dropping it would
+    run fewer ladder levels than asked with no diagnostic (ADVICE r5)."""
+    toks = [t.strip() for t in arg.split(",") if t.strip()]
+    if toks == ["render"]:
+        return []
+    bad = [t for t in toks if not t.isdigit()]
+    if bad:
+        raise SystemExit(
+            f"scaling_bench: non-numeric level tokens {bad!r} — pass a "
+            "CSV of core counts (e.g. '1,2,4,8') or exactly 'render'"
+        )
+    return [int(t) for t in toks]
+
+
+LEVELS = _parse_levels(sys.argv[2]) if len(sys.argv) > 2 else [1, 2, 4, 8]
 CORPUS = corpus_path(ROWS)
 # reps per level per invocation (walls merge ACROSS invocations, so
 # several REPS=1 invocations equal one REPS=N run — useful when the

@@ -98,11 +98,16 @@ def test_invalid_algo_rejected():
         rules.PipelineConfig(neardup_algo="xxhash")
 
 
-def test_streaming_rejects_simhash_config(spark, tmp_path):
+def test_streaming_rejects_capped_simhash_config(spark, tmp_path):
+    """Uncapped simhash streams fine (r6: the chunk-bucket stateful
+    stream — tests/test_streaming.py); the CAP stays batch-only (the
+    global hash-order top-cap needs whole-bucket membership)."""
     from bmpp.streaming import stream_neardup_flags
 
-    cfg = rules.PipelineConfig(neardup_algo="simhash")
-    with pytest.raises(ValueError, match="MinHash"):
+    cfg = rules.PipelineConfig(
+        neardup_algo="simhash", simhash_chunk_bucket_cap=2
+    )
+    with pytest.raises(ValueError, match="batch-only"):
         stream_neardup_flags(spark, str(tmp_path), "repo string", cfg=cfg)
 
 

@@ -500,12 +500,185 @@ def test_memory_sink_tables_are_reaped(spark, tmp_path_factory):
 
 
 def test_stream_neardup_rejects_batch_only_knobs(spark, tmp_path):
+    """The bucket caps stay batch-only (whole-bucket membership needed
+    for the global hash-order top-cap). The former simhash and
+    r-of-b refusals are GONE — simhash streams via the chunk-bucket
+    state and r-of-b is an exact consumer-side reduction (r6)."""
     from bmpp import rules
     from bmpp.streaming import stream_neardup_flags
 
-    for cfg, msg in [
-        (rules.PipelineConfig(neardup_min_band_matches=2), "batch-only"),
-        (rules.PipelineConfig(neardup_algo="simhash"), "MinHash"),
+    for cfg in [
+        rules.PipelineConfig(neardup_bucket_cap=5),
+        rules.PipelineConfig(
+            neardup_algo="simhash", simhash_chunk_bucket_cap=5
+        ),
     ]:
-        with pytest.raises(ValueError, match=msg):
+        with pytest.raises(ValueError, match="batch-only"):
             stream_neardup_flags(spark, str(tmp_path), "repo string", cfg=cfg)
+
+
+def test_stream_neardup_rofb_single_batch_equals_batch(spark, corpus_dir):
+    """r-of-b policy (neardup_min_band_matches=2) applied by the
+    consumer-side reduction over the per-(doc, band) candidate stream:
+    single-batch output must equal batch near_flags with the same
+    config — the counts are exact because all of a doc's band rows
+    arrive in its one micro-batch."""
+    from pyspark.sql import functions as F
+
+    from bmpp.operators.neardup import near_flags
+    from bmpp.streaming import (
+        reduce_neardup_candidates,
+        stream_neardup_flags,
+        with_keys,
+    )
+    from bmpp.udfs import make_bands_udf
+
+    cfg = rules.PipelineConfig(neardup_min_band_matches=2)
+    src = spark.read.parquet(corpus_dir)
+    cands = stream_neardup_flags(
+        spark, corpus_dir, src.schema, cfg, max_files_per_trigger=None
+    )
+    got = {
+        (r["doc_key"], r["near_dup_of"])
+        for r in reduce_neardup_candidates(
+            cands, cfg.neardup_min_band_matches
+        ).collect()
+    }
+    bands_udf = make_bands_udf(cfg.minhash_perms, cfg.lsh_bands, cfg.shingle_k)
+    bands_slim = with_keys(src).select(
+        "doc_key", bands_udf(F.col("content")).alias("minhash_bands")
+    )
+    empty_dups = spark.createDataFrame([], "doc_key string")
+    want = {
+        (r["doc_key"], r["near_dup_of"])
+        for r in near_flags(bands_slim, empty_dups, cfg).collect()
+    }
+    # k=2 must bind on this corpus, else the case proves nothing
+    loose = {
+        (r["doc_key"], r["near_dup_of"])
+        for r in near_flags(
+            bands_slim, empty_dups, rules.PipelineConfig()
+        ).collect()
+    }
+    assert want and want != loose, "r-of-b=2 does not bind on this corpus"
+    assert got == want
+
+
+def test_stream_simhash_single_batch_matches_rep_verify(spark, corpus_dir):
+    """SimHash chunk-bucket stream, all data in ONE micro-batch: the
+    reduced flags must equal an independent pure-Python rep-verify
+    computation (per chunk bucket: rep = min doc_key among nonzero
+    fingerprints; member flagged iff hamming(member, rep) ≤ 3;
+    per-doc min over buckets) — the same semantics the DuckDB oracle
+    (queries.SQL_STREAM_SIMHASH) re-derives in SQL."""
+    from pyspark.sql import functions as F
+
+    from bmpp.models.simhash import chunks16, hamming64, simhash64
+    from bmpp.streaming import (
+        reduce_neardup_candidates,
+        stream_neardup_flags,
+        with_keys,
+    )
+
+    cfg = rules.PipelineConfig(neardup_algo="simhash")
+    src = spark.read.parquet(corpus_dir)
+    got = {
+        (r["doc_key"], r["near_dup_of"])
+        for r in reduce_neardup_candidates(
+            stream_neardup_flags(
+                spark, corpus_dir, src.schema, cfg,
+                max_files_per_trigger=None,
+            )
+        ).collect()
+    }
+    fps = {
+        r["doc_key"]: simhash64(r["content"])
+        for r in with_keys(src).select("doc_key", "content").collect()
+    }
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for k, v in fps.items():
+        if v == 0:
+            continue
+        for c, chunk in enumerate(chunks16(v)):
+            buckets.setdefault((c, chunk), []).append(k)
+    want_flags: dict[str, str] = {}
+    for members in buckets.values():
+        rep = min(members)
+        for m in members:
+            if m != rep and hamming64(fps[m], fps[rep]) <= 3:
+                if m not in want_flags or rep < want_flags[m]:
+                    want_flags[m] = rep
+    want = set(want_flags.items())
+    assert len(want) > 5, "corpus no longer plants simhash near-dups"
+    assert got == want
+
+
+def test_stream_simhash_first_seen_wins_across_batches(
+    spark, tmp_path_factory
+):
+    """Multi-batch simhash contract: a later doc is hamming-verified
+    against the earlier bucket rep; a colliding doc BEYOND the radius
+    is not flagged; an earlier doc is never retro-flagged when a
+    smaller key arrives later."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bmpp.streaming import stream_neardup_flags
+
+    # single-occurrence token edits on a non-repeated base measure
+    # hamming 1 against it while sharing ≥3 of the 4 chunks (verified
+    # offline with models.simhash; a REPEATED base would vote-saturate
+    # and tiny edits would land at hamming 0)
+    text = (
+        "def handler(request, ctx):\n"
+        "    payload = request.json()\n"
+        "    return process(payload, ctx)\n"
+        "class Worker:\n"
+        "    def run(self, queue, limit):\n"
+        "        for item in queue.take(limit):\n"
+        "            self.emit(item)\n"
+    )
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string")
+    stage = tmp_path_factory.mktemp("sh_stage")
+    stream_dir = tmp_path_factory.mktemp("sh_stream")
+    waves = [
+        # wave 1: rep candidate "m..." key
+        [("mrepo", "a.py", "c0", "python", text)],
+        # wave 2: larger key, 1-token edit (hamming 1) → verifies
+        # against wave 1
+        [("zrepo", "b.py", "c0", "python", text.replace("queue", "queu3", 1))],
+        # wave 3: SMALLER key, identical content → becomes new rep,
+        # not flagged; wave-1 doc is NOT retro-flagged
+        [("arepo", "c.py", "c0", "python", text)],
+        # wave 4: 1-token edit after the smaller rep → flagged against it
+        [("wrepo", "d.py", "c0", "python", text.replace("item", "elem", 1))],
+    ]
+    for i, rows in enumerate(waves):
+        d = stage / f"w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d))
+        shutil.copy(
+            sorted(d.glob("part-*.parquet"))[0],
+            stream_dir / f"wave{i}.parquet",
+        )
+
+    out = stream_neardup_flags(
+        spark, str(stream_dir),
+        spark.read.parquet(str(stage / "w0")).schema,
+        cfg=rules.PipelineConfig(neardup_algo="simhash"),
+    )
+    flags = {
+        r["doc_key"]: r["near_dup_of"]
+        for r in out.groupBy("doc_key")
+        .agg(F.min("near_dup_of").alias("near_dup_of"))
+        .collect()
+    }
+    m, z, a, w = ("mrepo/a.py@c0", "zrepo/b.py@c0",
+                  "arepo/c.py@c0", "wrepo/d.py@c0")
+    assert flags.get(z) == m, f"wave-2 doc not flagged against rep: {flags}"
+    assert m not in flags, "earlier rep was retro-flagged"
+    assert a not in flags, "new smaller rep must not be flagged"
+    assert flags.get(w) == a, f"wave-4 doc should flag against new rep: {flags}"
