@@ -234,3 +234,37 @@ class TestMinhashFixture:
                 assert got is None, f"doc {doc_id}: fixture has rows for short doc"
             else:
                 assert got == list(want), f"doc {doc_id}: band drift"
+
+
+class TestSimhashFpFixture:
+    """fixtures/simhash_fp_sf0.01.parquet backs the
+    stream_simhash_neardup DuckDB oracle (scripts/gen_simhash_fixture.py).
+    Staleness guard: stored fingerprints must equal a fresh
+    recomputation from the frozen engine hash for a deterministic
+    sample, and every doc must be present (the SQL filters zeros
+    itself)."""
+
+    def test_fixture_matches_fresh_fingerprints(self):
+        import pyarrow.parquet as pq
+
+        from bmpp.models.simhash import simhash64
+
+        fix = (
+            pq.read_table("fixtures/simhash_fp_sf0.01.parquet")
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        docs = (
+            pq.read_table(
+                "/root/testdata/sf0.01/documents.parquet",
+                columns=["doc_id", "text"],
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert set(fix.index) == set(docs.index), "fixture/table drift"
+        sample = sorted(docs.index)[::7]
+        for doc_id in sample:
+            assert int(fix.loc[doc_id, "fp64"]) == simhash64(
+                docs.loc[doc_id, "text"]
+            ), f"doc {doc_id}: fingerprint drift"
