@@ -443,6 +443,60 @@ def stream_neardup_flags(
             "would silently diverge from the batch semantics) — run the "
             "batch near_flags for capped configs"
         )
+    plan = _neardup_stream_plan(
+        spark, input_dir, schema, cfg, max_files_per_trigger, "update"
+    )
+    return _run_to_memory(plan, "update")
+
+
+def start_neardup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    output_dir: str,
+    checkpoint: str | None = None,
+    cfg: rules.PipelineConfig | None = None,
+    max_files_per_trigger: int | None = 1,
+    available_now: bool = False,
+    trigger_ms: int = 250,
+):
+    """Continuous, exactly-once form of ``stream_neardup_flags``: the
+    same algo-dispatched stateful plan writing (doc_key, near_dup_of)
+    candidate rows to a parquet sink with a checkpoint — restart with
+    the same checkpoint and the stream resumes from the committed
+    offsets/state, never re-emitting a processed micro-batch (the
+    production ingestion shape; the memory-sink form is the
+    test/driver convenience).
+
+    The stateful operator runs in APPEND output mode here — legitimate
+    because a (doc, bucket) candidate row is emitted at most once,
+    when the doc arrives, and never revised (reps are never
+    retro-applied), so append and update modes carry identical rows
+    for this operator; file sinks only accept append.
+
+    Returns the RUNNING StreamingQuery (caller owns stop()); with
+    ``available_now`` the query drains what exists and finishes, the
+    incremental-batch-job pattern."""
+    cfg = cfg or rules.PipelineConfig()
+    plan = _neardup_stream_plan(
+        spark, input_dir, schema, cfg, max_files_per_trigger, "append"
+    )
+    w = (
+        plan.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint or output_dir + "_ckpt")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=f"{trigger_ms} milliseconds")
+    return w.start()
+
+
+def _neardup_stream_plan(
+    spark, input_dir, schema, cfg, max_files_per_trigger, output_mode
+) -> DataFrame:
     if cfg.neardup_algo == "simhash":
         if cfg.simhash_chunk_bucket_cap:
             raise ValueError(
@@ -452,15 +506,15 @@ def stream_neardup_flags(
                 "capped configs"
             )
         return _stream_simhash_neardup(
-            spark, input_dir, schema, cfg, max_files_per_trigger
+            spark, input_dir, schema, cfg, max_files_per_trigger, output_mode
         )
     return _stream_minhash_neardup(
-        spark, input_dir, schema, cfg, max_files_per_trigger
+        spark, input_dir, schema, cfg, max_files_per_trigger, output_mode
     )
 
 
 def _stream_minhash_neardup(
-    spark, input_dir, schema, cfg, max_files_per_trigger
+    spark, input_dir, schema, cfg, max_files_per_trigger, output_mode
 ) -> DataFrame:
     """MinHash band-bucket stateful stream (docs on
     ``stream_neardup_flags``)."""
@@ -491,18 +545,17 @@ def _stream_minhash_neardup(
                 {"doc_key": flagged, "near_dup_of": [new_rep] * len(flagged)}
             )
 
-    plan = pairs.groupBy("band_hash").applyInPandasWithState(
+    return pairs.groupBy("band_hash").applyInPandasWithState(
         update,
         NEARDUP_STREAM_SCHEMA,
         "rep string, n long",
-        "update",
+        output_mode,
         GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(plan, "update")
 
 
 def _stream_simhash_neardup(
-    spark, input_dir, schema, cfg, max_files_per_trigger
+    spark, input_dir, schema, cfg, max_files_per_trigger, output_mode
 ) -> DataFrame:
     """SimHash chunk-bucket stateful stream — the exact analog of the
     MinHash band-bucket state with one addition: bucket collision is
@@ -577,11 +630,10 @@ def _stream_simhash_neardup(
                 {"doc_key": flagged, "near_dup_of": [rep] * len(flagged)}
             )
 
-    plan = pairs.groupBy("chunk_bucket").applyInPandasWithState(
+    return pairs.groupBy("chunk_bucket").applyInPandasWithState(
         update,
         NEARDUP_STREAM_SCHEMA,
         "rep string, rep_fp long, n long",
-        "update",
+        output_mode,
         GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(plan, "update")

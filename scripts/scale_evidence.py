@@ -126,12 +126,29 @@ def main() -> None:
     only = sys.argv[2] if len(sys.argv) > 2 else None
     prev_regimes: dict = {}
     prev_counts: dict = {}
+    octaves: dict[int, dict] = {}  # per-row-count history (r6: running
+    # a larger octave must not discard the smaller one's evidence)
     prev_path = REPO / "BENCH" / "scale_sf1.json"
     if prev_path.exists():
         prev = json.loads(prev_path.read_text())
-        if prev.get("rows") == ROWS and prev.get("protocol") == PROTOCOL:
-            prev_regimes = prev.get("regimes", {})
-            prev_counts = prev.get("counts", {})
+        if prev.get("protocol") == PROTOCOL:
+            octaves = {
+                int(k): v for k, v in prev.get("octaves", {}).items()
+            }
+            if prev.get("rows"):  # migrate a pre-octave file's top level
+                octaves.setdefault(
+                    int(prev["rows"]),
+                    {
+                        "regimes": prev.get("regimes", {}),
+                        "counts": prev.get("counts", {}),
+                        "production_vs_sf01_ratio": prev.get(
+                            "production_vs_sf01_ratio"
+                        ),
+                    },
+                )
+            if ROWS in octaves:
+                prev_regimes = octaves[ROWS].get("regimes", {})
+                prev_counts = octaves[ROWS].get("counts", {})
 
     results = {}
     for name in REGIMES:
@@ -188,11 +205,18 @@ def main() -> None:
         "counts": {k: prod[k] for k in ("rows", "kept", "dups", "near_dups",
                                         "scrubs")},
     }
+    octaves[ROWS] = {
+        "regimes": summary["regimes"],
+        "counts": summary["counts"],
+        "production_vs_sf01_ratio": summary["production_vs_sf01_ratio"],
+    }
+    summary["octaves"] = {str(k): octaves[k] for k in sorted(octaves)}
     (REPO / "BENCH").mkdir(exist_ok=True)
     (REPO / "BENCH" / "scale_sf1.json").write_text(json.dumps(summary))
 
     lines = [
-        "# BENCH/SCALE — 40× scale-up evidence (production splits)",
+        f"# BENCH/SCALE — {ROWS // 100_000}× scale-up evidence "
+        "(production splits)",
         "",
         f"Identical spark-submit pipeline job over {ROWS:,} generated rows",
         f"({corpus_bytes / 1e6:.0f} MB parquet, 512 files), local[{CORES}],",
@@ -226,6 +250,26 @@ def main() -> None:
         "  why AQE skew-split cannot fire on the agg-fed join shape).",
         "",
     ]
+    if len(octaves) > 1:
+        lines += [
+            "## Octave ladder (same protocol; per-row-count best walls)",
+            "",
+            "Throughput holding flat as the corpus doubles is the",
+            "memory-bandwidth-bound analog of weak scaling on this",
+            "fixed-size box — a falling rows/s column would mean some",
+            "stage is super-linear in input size.",
+            "",
+            "| rows | production wall (s) | rows/s | vs sf0.1 headline |",
+            "| --- | --- | --- | --- |",
+        ]
+        for rc in sorted(octaves):
+            o = octaves[rc]
+            pr = o.get("regimes", {}).get("production", {})
+            lines.append(
+                f"| {rc:,} | {pr.get('wall_sec')} | {pr.get('rows_per_sec')} "
+                f"| {o.get('production_vs_sf01_ratio')}× |"
+            )
+        lines.append("")
     # preserve the salted-balance section on rewrite (its evidence
     # comes from scripts/salted_balance.py, not this script — round 4
     # lost the section once to this wholesale write_text)

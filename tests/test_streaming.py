@@ -474,6 +474,87 @@ def test_stream_neardup_first_seen_wins_across_batches(
     assert flags.get(w) == a, f"wave-4 doc should flag against new rep: {flags}"
 
 
+def test_start_neardup_stream_exactly_once_resume(spark, tmp_path_factory):
+    """Production form (parquet sink + checkpoint): drain wave 1 with
+    availableNow, restart the SAME checkpoint after wave 2 lands —
+    wave-1 flags must not be re-emitted (exactly-once), wave-2 docs
+    must flag against the wave-1 reps (state survived the restart),
+    and the sink total must equal the single synchronous stream run
+    over both waves."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bmpp.streaming import start_neardup_stream, stream_neardup_flags
+
+    text = (
+        "def handler(request, ctx):\n"
+        "    payload = request.json()\n"
+        "    return process(payload, ctx)\n"
+        "class Worker:\n"
+        "    def run(self, queue, limit):\n"
+        "        for item in queue.take(limit):\n"
+        "            self.emit(item)\n"
+    )
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string")
+    stage = tmp_path_factory.mktemp("cont_stage")
+    stream_dir = tmp_path_factory.mktemp("cont_stream")
+    sink = str(tmp_path_factory.mktemp("cont_sink") / "out")
+    waves = [
+        [("arepo", "a.py", "c0", "python", text),
+         ("brepo", "b.py", "c0", "python", text + "# v2\n")],
+        [("crepo", "c.py", "c0", "python", text + "# v3\n")],
+    ]
+    for i, rows in enumerate(waves):
+        d = stage / f"w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d))
+
+    src_schema = spark.read.parquet(str(stage / "w0")).schema
+
+    def drain():
+        q = start_neardup_stream(
+            spark, str(stream_dir), src_schema, sink, available_now=True
+        )
+        q.awaitTermination()
+
+    shutil.copy(
+        sorted((stage / "w0").glob("part-*.parquet"))[0],
+        stream_dir / "wave0.parquet",
+    )
+    drain()
+    first = spark.read.parquet(sink).collect()
+    flags1 = {(r["doc_key"], r["near_dup_of"]) for r in first}
+    assert flags1 == {("brepo/b.py@c0", "arepo/a.py@c0")}, flags1
+
+    shutil.copy(
+        sorted((stage / "w1").glob("part-*.parquet"))[0],
+        stream_dir / "wave1.parquet",
+    )
+    drain()  # SAME checkpoint: resumes, does not reprocess wave 0
+    both = spark.read.parquet(sink).collect()
+    # exactly-once: wave-1 docs gained NO new rows on resume (one row
+    # per colliding band bucket, all emitted in wave 1's batch)
+    n_b = sum(1 for r in both if r["doc_key"] == "brepo/b.py@c0")
+    assert n_b == len(first), (
+        "resume re-emitted already-committed candidates"
+    )
+    flags2 = {(r["doc_key"], r["near_dup_of"]) for r in both}
+    assert ("crepo/c.py@c0", "arepo/a.py@c0") in flags2, (
+        "state did not survive the checkpointed restart"
+    )
+    # parity with the one-shot synchronous memory-sink form
+    sync = {
+        (r["doc_key"], r["near_dup_of"])
+        for r in stream_neardup_flags(spark, str(stream_dir), src_schema)
+        .select("doc_key", "near_dup_of")
+        .collect()
+    }
+    assert flags2 == sync
+
+
 def test_memory_sink_tables_are_reaped(spark, tmp_path_factory):
     """ADVICE r4: _run_to_memory registers a uuid temp view per
     invocation; the last-K reaper must bound them in a long-lived
