@@ -1317,72 +1317,19 @@ def q_ivf_ann_topk(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank")
 
 
-def q_stream_neardup(spark, sf_dir):
-    """Streaming MinHash near-dup (streaming.stream_neardup_flags) as
-    a catalog query WITH a full DuckDB oracle: when all documents
-    arrive in ONE micro-batch, first-seen-wins flagging min-reduced
-    per doc is exactly the batch LSH min-rep election, so the oracle
-    is SQL_MINHASH_NEARDUP verbatim (LSH re-derived in SQL over the
-    frozen band fixture). doc_ids are staged as zero-padded 12-digit
-    repo keys so the stream's string-min rep election agrees with the
-    oracle's numeric min. The memory-sink result is materialized
-    before return (no lazy read of the staged files)."""
-    from pathlib import Path
+def _stream_neardup_catalog(spark, sf_dir, cfg, prefix):
+    """Shared body of the two streaming near-dup catalog queries
+    (they differ only in the config — the algorithm — and the staging
+    prefix): stage documents as corpus rows with zero-padded 12-digit
+    doc_id repo keys (so the stream's string-min rep election agrees
+    with the oracle's numeric min), run the single-micro-batch stream,
+    min-reduce the candidates, and map keys back to doc_ids.
 
-    from .streaming import stream_neardup_flags
-
-    d = _t(spark, sf_dir, "documents")
-    corp = d.select(
-        F.format_string("%012d", F.col("doc_id")).alias("repo"),
-        F.lit("doc.py").alias("path"),
-        F.lit("c0").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
-    )
-    # process-unique, per-invocation staging (the shared-/tmp fixed
-    # path two processes could race on is exactly what the roundtrip
-    # sinks avoid); the memory sink is fully materialized inside
-    # stream_neardup_flags, so the staged files can be deleted
-    # immediately after it returns
-    import shutil
-
-    stage = (
-        Path(_roundtrip_dir())
-        / f"nds_{Path(sf_dir).name}_{next(_ND_STREAM_SEQ)}"
-    )
-    corp.write.mode("overwrite").parquet(str(stage))
-    try:
-        out = stream_neardup_flags(
-            spark, str(stage), corp.schema, max_files_per_trigger=None
-        )
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
-    from .streaming import reduce_neardup_candidates
-
-    flags = reduce_neardup_candidates(out).select(
-        F.expr("cast(substring(doc_key, 1, 12) AS bigint)").alias("doc_id"),
-        F.expr("cast(substring(near_dup_of, 1, 12) AS bigint)").alias(
-            "near_dup_of"
-        ),
-    )
-    return d.select("doc_id").join(flags, "doc_id", "left")
-
-
-def q_stream_simhash_neardup(spark, sf_dir):
-    """Streaming SimHash near-dup (streaming.stream_neardup_flags with
-    ``neardup_algo="simhash"`` — the chunk-bucket stateful stream) as a
-    catalog query WITH a full DuckDB oracle: when all documents arrive
-    in ONE micro-batch, the chunk-bucket replay elects the bucket-min
-    rep and hamming-verifies every other member against it — exactly
-    the rep-verify semantics SQL_STREAM_SIMHASH re-derives over the
-    frozen fingerprint fixture (scripts/gen_simhash_fixture.py; only
-    the non-SQL-portable rolling-hash fingerprint itself comes from
-    the fixture — bucketing, rep election, xor+bit_count verify and
-    the per-doc min flag are all computed independently by DuckDB).
-    Staging mirrors q_stream_neardup: zero-padded 12-digit doc_id repo
-    keys so string-min rep election agrees with the oracle's numeric
-    min; per-invocation staging dir deleted after the sink
-    materializes."""
+    Staging is process-unique and per-invocation (the shared-/tmp
+    fixed path two processes could race on is exactly what the
+    roundtrip sinks avoid); the memory sink is fully materialized
+    inside stream_neardup_flags, so the staged files can be deleted
+    immediately after it returns."""
     import shutil
     from pathlib import Path
 
@@ -1398,13 +1345,12 @@ def q_stream_simhash_neardup(spark, sf_dir):
     )
     stage = (
         Path(_roundtrip_dir())
-        / f"nds_sh_{Path(sf_dir).name}_{next(_ND_STREAM_SEQ)}"
+        / f"{prefix}_{Path(sf_dir).name}_{next(_ND_STREAM_SEQ)}"
     )
     corp.write.mode("overwrite").parquet(str(stage))
     try:
         out = stream_neardup_flags(
-            spark, str(stage), corp.schema,
-            cfg=rules.PipelineConfig(neardup_algo="simhash"),
+            spark, str(stage), corp.schema, cfg=cfg,
             max_files_per_trigger=None,
         )
     finally:
@@ -1416,6 +1362,32 @@ def q_stream_simhash_neardup(spark, sf_dir):
         ),
     )
     return d.select("doc_id").join(flags, "doc_id", "left")
+
+
+def q_stream_neardup(spark, sf_dir):
+    """Streaming MinHash near-dup (streaming.stream_neardup_flags) as
+    a catalog query WITH a full DuckDB oracle: when all documents
+    arrive in ONE micro-batch, first-seen-wins flagging min-reduced
+    per doc is exactly the batch LSH min-rep election, so the oracle
+    is SQL_MINHASH_NEARDUP verbatim (LSH re-derived in SQL over the
+    frozen band fixture)."""
+    return _stream_neardup_catalog(spark, sf_dir, None, "nds")
+
+
+def q_stream_simhash_neardup(spark, sf_dir):
+    """Streaming SimHash near-dup (streaming.stream_neardup_flags with
+    ``neardup_algo="simhash"`` — the chunk-bucket stateful stream) as a
+    catalog query WITH a full DuckDB oracle: when all documents arrive
+    in ONE micro-batch, the chunk-bucket replay elects the bucket-min
+    rep and hamming-verifies every other member against it — exactly
+    the rep-verify semantics SQL_STREAM_SIMHASH re-derives over the
+    frozen fingerprint fixture (scripts/gen_simhash_fixture.py; only
+    the non-SQL-portable rolling-hash fingerprint itself comes from
+    the fixture — bucketing, rep election, xor+bit_count verify and
+    the per-doc min flag are all computed independently by DuckDB)."""
+    return _stream_neardup_catalog(
+        spark, sf_dir, rules.PipelineConfig(neardup_algo="simhash"), "nds_sh"
+    )
 
 
 _SIMHASH_FP_FIXTURE = str(
@@ -1556,7 +1528,7 @@ def q_minhash_neardup(spark, sf_dir):
         d.select("doc_id", F.explode(bands_udf(F.col("text"))).alias("band_hash")),
     )
     buckets = dup_groups(
-        pairs, "band_hash", "doc_id", _DEF_CFG.join_salt_buckets
+        pairs, "band_hash", "doc_id", _DEF_CFG.dedup_salt_buckets
     ).select("band_hash", F.col("_rep").alias("rep"))
     cands = (
         salted_join(

@@ -435,14 +435,6 @@ def stream_neardup_flags(
     per-doc reduction is left to the consumer so the stream stays a
     single stateful operator."""
     cfg = cfg or rules.PipelineConfig()
-    if cfg.neardup_bucket_cap:
-        raise ValueError(
-            "stream_neardup_flags: neardup_bucket_cap is a batch-only "
-            "knob (cap_bucket_members needs the whole bucket membership "
-            "to take the global hash-order top-cap; a streaming cap "
-            "would silently diverge from the batch semantics) — run the "
-            "batch near_flags for capped configs"
-        )
     plan = _neardup_stream_plan(
         spark, input_dir, schema, cfg, max_files_per_trigger, "update"
     )
@@ -497,10 +489,35 @@ def start_neardup_stream(
 def _neardup_stream_plan(
     spark, input_dir, schema, cfg, max_files_per_trigger, output_mode
 ) -> DataFrame:
+    """Shared algo dispatch + knob validation for BOTH entry points
+    (the guards must live here, not in stream_neardup_flags, or the
+    continuous start_neardup_stream would silently accept configs the
+    synchronous form rejects)."""
+    if cfg.neardup_bucket_cap:
+        raise ValueError(
+            "near-dup stream: neardup_bucket_cap is a batch-only "
+            "knob (cap_bucket_members needs the whole bucket membership "
+            "to take the global hash-order top-cap; a streaming cap "
+            "would silently diverge from the batch semantics) — run the "
+            "batch near_flags for capped configs"
+        )
+    if cfg.neardup_min_band_matches > 1:
+        import warnings
+
+        # not an error — candidate GENERATION is identical for any k;
+        # but a cfg carrying the knob into the stream must not be
+        # silently accepted-and-ignored (the consumer applies it)
+        warnings.warn(
+            "near-dup stream emits raw per-bucket candidates; "
+            f"neardup_min_band_matches={cfg.neardup_min_band_matches} "
+            "is applied by reduce_neardup_candidates(cands, k) "
+            "downstream, not by the stream itself",
+            stacklevel=3,
+        )
     if cfg.neardup_algo == "simhash":
         if cfg.simhash_chunk_bucket_cap:
             raise ValueError(
-                "stream_neardup_flags: simhash_chunk_bucket_cap is a "
+                "near-dup stream: simhash_chunk_bucket_cap is a "
                 "batch-only knob (same global hash-order top-cap as "
                 "neardup_bucket_cap) — run the batch pipeline for "
                 "capped configs"
@@ -622,7 +639,11 @@ def _stream_simhash_neardup(
             n += 1
             if rep is None or k < rep:
                 rep, rep_fp = k, v
-            elif hamming64(v, int(rep_fp)) <= max_ham:
+            elif k > rep and hamming64(v, int(rep_fp)) <= max_ham:
+                # k == rep (the rep re-arriving on re-ingestion) must
+                # NOT fall through to the verify — distance 0 would
+                # flag the doc as a near-dup of ITSELF and a dedup
+                # consumer could drop the only copy
                 flagged.append(k)
         state.update((rep, rep_fp, n))
         if flagged:

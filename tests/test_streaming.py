@@ -555,6 +555,90 @@ def test_start_neardup_stream_exactly_once_resume(spark, tmp_path_factory):
     assert flags2 == sync
 
 
+def test_stream_simhash_rearriving_rep_not_self_flagged(
+    spark, tmp_path_factory
+):
+    """Re-ingestion of the rep doc itself (same doc_key in a later
+    micro-batch) must NOT emit a (doc, doc) self-flag — distance 0
+    against its own stored fingerprint would otherwise pass the
+    hamming verify and a dedup consumer could drop the only copy."""
+    import shutil
+
+    from bmpp.streaming import stream_neardup_flags
+
+    text = (
+        "def handler(request, ctx):\n"
+        "    payload = request.json()\n"
+        "    return process(payload, ctx)\n"
+    )
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string")
+    stage = tmp_path_factory.mktemp("self_stage")
+    stream_dir = tmp_path_factory.mktemp("self_stream")
+    rows = [("arepo", "a.py", "c0", "python", text)]
+    d = stage / "w0"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    part = sorted(d.glob("part-*.parquet"))[0]
+    shutil.copy(part, stream_dir / "wave0.parquet")
+    shutil.copy(part, stream_dir / "wave1.parquet")  # re-crawl
+
+    out = stream_neardup_flags(
+        spark, str(stream_dir),
+        spark.read.parquet(str(d)).schema,
+        cfg=rules.PipelineConfig(neardup_algo="simhash"),
+    )
+    assert out.count() == 0, (
+        f"re-arriving rep was flagged: {out.collect()}"
+    )
+
+
+def test_continuous_neardup_stream_rejects_batch_only_knobs(
+    spark, tmp_path
+):
+    """The cap guards must hold for BOTH entry points — the continuous
+    form shares the plan builder, so a capped config cannot slip into
+    a running production stream unvalidated."""
+    from bmpp.streaming import start_neardup_stream
+
+    for cfg in [
+        rules.PipelineConfig(neardup_bucket_cap=5),
+        rules.PipelineConfig(
+            neardup_algo="simhash", simhash_chunk_bucket_cap=5
+        ),
+    ]:
+        with pytest.raises(ValueError, match="batch-only"):
+            start_neardup_stream(
+                spark, str(tmp_path), "repo string", str(tmp_path / "out"),
+                cfg=cfg,
+            )
+
+
+def test_stream_warns_when_rofb_knob_rides_in(spark, tmp_path_factory):
+    """cfg.neardup_min_band_matches > 1 must not be silently
+    accepted-and-ignored by the stream (candidates are k-agnostic;
+    the consumer applies the policy) — a warning says so."""
+    import shutil
+    import warnings
+
+    from bmpp import corpus
+    from bmpp.streaming import stream_neardup_flags
+
+    d = tmp_path_factory.mktemp("warn_stream")
+    corpus.corpus_df(spark, 40, partitions=1).drop("plant").write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        stream_neardup_flags(
+            spark, str(d), spark.read.parquet(str(d)).schema,
+            cfg=rules.PipelineConfig(neardup_min_band_matches=2),
+            max_files_per_trigger=None,
+        )
+    assert any("reduce_neardup_candidates" in str(x.message) for x in w)
+
+
 def test_memory_sink_tables_are_reaped(spark, tmp_path_factory):
     """ADVICE r4: _run_to_memory registers a uuid temp view per
     invocation; the last-K reaper must bound them in a long-lived
