@@ -30,70 +30,9 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoints", default=None,
                    help="snapshot dir: stages commit here and reruns resume")
-    p.add_argument("--profile", default=None,
-                   help="named config preset (bmpp.profiles — the "
-                   "reference's alias-profile mechanism); individual "
-                   "--no-* flags override on top")
-    p.add_argument("--no-filter", action="store_true")
-    p.add_argument("--no-dedup", action="store_true")
-    p.add_argument("--no-near-dedup", action="store_true")
-    p.add_argument("--no-score", action="store_true")
-    p.add_argument("--no-scrub", action="store_true")
-    p.add_argument("--remove-duplicates", action="store_true")
-    p.add_argument("--split", action="store_true",
-                   help="record-splitter stage (doSplitNCigarReads "
-                   "analog): one output row per line-block chunk")
-    p.add_argument("--split-max-lines", type=int, default=None)
-    p.add_argument(
-        "--neardup-algo", choices=["minhash", "simhash"], default=None,
-        help="near-dup algorithm: minhash (set-overlap LSH, default) "
-        "or simhash (64-bit hamming fingerprint + chunk LSH)",
-    )
-    p.add_argument(
-        "--neardup-bucket-cap", type=int, default=None, metavar="N",
-        help="minhash mode: consider at most N members per LSH band "
-        "bucket, chosen by deterministic hash order (the reference's "
-        "--downsampling_type safety valve for degenerate groups)",
-    )
-    p.add_argument(
-        "--neardup-min-band-matches", type=int, default=None, metavar="K",
-        help="minhash mode: flag a doc against a bucket rep only when "
-        "they collide in >= K LSH bands (r-of-b precision policy; "
-        "default 1 = any-band flagging)",
-    )
-    p.add_argument(
-        "--simhash-max-hamming", type=int, default=None, metavar="D",
-        help="simhash mode: verified hamming radius (default 3)",
-    )
-    p.add_argument(
-        "--simhash-chunk-cap", type=int, default=None, metavar="N",
-        help="simhash mode: consider at most N members per 16-bit "
-        "chunk bucket (same deterministic downsampling as "
-        "--neardup-bucket-cap)",
-    )
-    p.add_argument(
-        "--keep-predicate", action="append", default=[], metavar="SQL_EXPR",
-        help="extra keep predicate (repeatable) over the heuristic "
-        "columns, e.g. 'n_chars <= 50000'; a violating row gains drop "
-        "reason custom_<i> (the reference's additionalParams / "
-        "composable --read-filter analog)",
-    )
-    p.add_argument(
-        "--scrub-pattern", action="append", default=[], metavar="REGEX=REPL",
-        help="extra scrub rewrite appended to the base pack "
-        "(repeatable), e.g. '(?i)internal-hostname-[a-z0-9]+=<HOST>'",
-    )
-    p.add_argument(
-        "--dedup-salt", type=int, default=None, metavar="S",
-        help="skew salt bucket count for the two-phase dedup/band "
-        "aggregations (default 64)",
-    )
-    p.add_argument(
-        "--join-salt", type=int, default=None, metavar="S",
-        help="replication factor for the salt-replicated flag joins "
-        "(default 16); raise on wide clusters so the hottest key's "
-        "share fits one task",
-    )
+    from bmpp.cli import add_config_args
+
+    add_config_args(p)
     p.add_argument("--buckets", type=int, default=32)
     p.add_argument(
         "--sink", choices=["parquet", "noop"], default="parquet",
@@ -105,7 +44,7 @@ def main(argv=None) -> int:
 
     from pyspark.sql import SparkSession
 
-    from bmpp import corpus, metrics, rules
+    from bmpp import corpus, metrics
     from bmpp.io import ParquetSnapshotIO
     from bmpp.operators import regroup_write
     from bmpp.pipeline import build_plan, run_resumable
@@ -113,53 +52,9 @@ def main(argv=None) -> int:
     spark = SparkSession.builder.appName("bmpp-run").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    import dataclasses
+    from bmpp.cli import config_from_args
 
-    from bmpp.profiles import get_profile
-
-    base = get_profile(args.profile) if args.profile else rules.PipelineConfig()
-    overrides = {}
-    if args.no_filter:
-        overrides["do_filter"] = False
-    if args.no_dedup:
-        overrides["do_dedup"] = False
-    if args.no_near_dedup:
-        overrides["do_near_dedup"] = False
-    if args.no_score:
-        overrides["do_score"] = False
-    if args.no_scrub:
-        overrides["do_scrub"] = False
-    if args.remove_duplicates:
-        overrides["remove_duplicates"] = True
-    if args.split:
-        overrides["do_split"] = True
-    if args.split_max_lines is not None:
-        overrides["split_max_lines"] = args.split_max_lines
-    if args.neardup_algo is not None:
-        overrides["neardup_algo"] = args.neardup_algo
-    if args.neardup_bucket_cap is not None:
-        overrides["neardup_bucket_cap"] = args.neardup_bucket_cap
-    if args.neardup_min_band_matches is not None:
-        overrides["neardup_min_band_matches"] = args.neardup_min_band_matches
-    if args.simhash_max_hamming is not None:
-        overrides["simhash_max_hamming"] = args.simhash_max_hamming
-    if args.simhash_chunk_cap is not None:
-        overrides["simhash_chunk_bucket_cap"] = args.simhash_chunk_cap
-    if args.dedup_salt is not None:
-        overrides["dedup_salt_buckets"] = args.dedup_salt
-    if args.join_salt is not None:
-        overrides["join_salt_buckets"] = args.join_salt
-    if args.keep_predicate:
-        overrides["extra_keep_predicates"] = tuple(args.keep_predicate)
-    if args.scrub_pattern:
-        pairs = []
-        for s in args.scrub_pattern:
-            if "=" not in s:
-                p.error(f"--scrub-pattern needs REGEX=REPL, got {s!r}")
-            pat, repl = s.split("=", 1)
-            pairs.append((pat, repl))
-        overrides["extra_scrub_patterns"] = tuple(pairs)
-    cfg = dataclasses.replace(base, **overrides) if overrides else base
+    cfg = config_from_args(p, args)
 
     if (
         cfg.do_near_dedup

@@ -1,0 +1,135 @@
+"""spark-submit entry point for CONTINUOUS ingestion (streaming form).
+
+Usage:
+  spark-submit [--master local[N]] run_stream.py \
+      --input <parquet dir> --output <dir> --checkpoints <dir> \
+      [--stage enrich|neardup|both] [the run_pipeline.py config flags]
+
+The batch driver (run_pipeline.py) is the ground truth over a fixed
+corpus; this driver is the incremental-batch-job form of the same
+operators for a corpus that GROWS — point it at a parquet directory
+that crawlers append files to and re-run it (same --checkpoints):
+each invocation drains exactly the new files (Structured Streaming
+availableNow trigger), resumes keyed state from the checkpoint, and
+never re-emits a processed row (exactly-once file sinks). Stages:
+
+- ``enrich``: the per-row half of the pipeline (filter heuristics +
+  score + scrub — bmpp.streaming.stream_quality_filter) appended to
+  ``<output>/enriched``.
+- ``neardup``: algo-dispatched stateful near-dup flagging
+  (bmpp.streaming.start_neardup_stream — MinHash band buckets or
+  SimHash chunk buckets + hamming verify) appending (doc_key,
+  near_dup_of) candidate rows to ``<output>/neardup_candidates``;
+  the per-doc reduction (incl. the r-of-b policy) is applied at
+  REPORT time over the cumulative sink, matching
+  bmpp.streaming.reduce_neardup_candidates semantics.
+- ``both`` (default): enrich then neardup, separate checkpoints.
+
+Prints ONE JSON line with CUMULATIVE sink counts (all waves drained
+so far under this checkpoint), so consecutive invocations read as a
+monotone ingestion report.
+
+Batch-only knobs are refused loudly rather than silently ignored:
+``--split`` / ``--remove-duplicates`` need whole-corpus visibility
+(retroactive row removal); the bucket caps are refused inside
+bmpp.streaming (global hash-order top-cap needs full bucket
+membership). The batch pipeline remains the exact ground truth for
+those configs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True,
+                   help="parquet directory being appended to by the "
+                   "producer (streaming file source; NOT synth: — the "
+                   "point is draining a growing directory)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoints", required=True,
+                   help="checkpoint root: offsets + keyed state commit "
+                   "here; re-running with the same dir resumes instead "
+                   "of re-emitting")
+    p.add_argument("--stage", choices=["enrich", "neardup", "both"],
+                   default="both")
+    p.add_argument(
+        "--max-files-per-trigger", type=int, default=1, metavar="N",
+        help="micro-batch granularity for the near-dup stream (files "
+        "per trigger; 0 = unbounded). 1 makes per-wave state evolution "
+        "deterministic for file-staged waves; raise for throughput",
+    )
+    from bmpp.cli import add_config_args
+
+    add_config_args(p)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from bmpp.cli import config_from_args
+
+    spark = SparkSession.builder.appName("bmpp-stream").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    cfg = config_from_args(p, args)
+    if cfg.do_split:
+        p.error("--split is batch-only: the record splitter multiplies "
+                "rows, which the flag-don't-drop streaming sinks do not "
+                "model — run run_pipeline.py for split configs")
+    if cfg.remove_duplicates:
+        p.error("--remove-duplicates is batch-only: retroactive row "
+                "removal needs whole-corpus visibility; the stream "
+                "emits flags (near_dup candidates), it never drops "
+                "rows — reduce the candidate sink downstream instead")
+
+    schema = spark.read.parquet(args.input).schema  # batch probe
+    mft = args.max_files_per_trigger or None
+    report: dict = {"stage": args.stage, "config_hash": cfg.config_hash()}
+    t0 = time.time()
+
+    if args.stage in ("enrich", "both"):
+        from bmpp.streaming import stream_quality_filter
+
+        # near-dup runs as its own stateful stream below — computing
+        # LSH features inside the enrich UDF would be dropped work
+        enriched = stream_quality_filter(
+            spark, args.input, schema,
+            dataclasses.replace(cfg, do_near_dedup=False),
+            output_dir=f"{args.output}/enriched",
+            checkpoint=f"{args.checkpoints}/enrich",
+        )
+        report["rows"] = enriched.count()
+        report["kept"] = enriched.filter("keep").count()
+
+    if args.stage in ("neardup", "both") and cfg.do_near_dedup:
+        from bmpp.streaming import (
+            NEARDUP_STREAM_SCHEMA,
+            reduce_neardup_candidates,
+            start_neardup_stream,
+        )
+
+        cand_dir = f"{args.output}/neardup_candidates"
+        q = start_neardup_stream(
+            spark, args.input, schema, cand_dir,
+            checkpoint=f"{args.checkpoints}/neardup",
+            cfg=cfg, max_files_per_trigger=mft, available_now=True,
+        )
+        q.awaitTermination()
+        cands = spark.read.schema(NEARDUP_STREAM_SCHEMA).parquet(cand_dir)
+        report["candidates"] = cands.count()
+        report["near_dups"] = reduce_neardup_candidates(
+            cands, cfg.neardup_min_band_matches
+        ).count()
+
+    report["wall_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,153 @@
+"""Continuous-ingestion CLI (run_stream.main) — the incremental
+spark-submit surface over bmpp.streaming: drain-exactly-the-new-files
+invocations with checkpoint resume, cumulative JSON report, and loud
+refusal of batch-only knobs. Library-level semantics (state survival,
+first-seen-wins, single-batch ≡ batch) are covered in
+test_streaming.py; these tests pin the CLI wiring on top."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+
+from bmpp import corpus, rules
+from run_stream import main
+
+TEXT = (
+    "def handler(request, ctx):\n"
+    "    payload = request.json()\n"
+    "    return process(payload, ctx)\n"
+    "class Worker:\n"
+    "    def run(self, queue, limit):\n"
+    "        for item in queue.take(limit):\n"
+    "            self.emit(item)\n"
+)
+SCHEMA = ("repo string, path string, commit string, lang string, "
+          "content string")
+
+
+def _stage_wave(spark, stage_dir, stream_dir, name, rows):
+    d = stage_dir / name
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    shutil.copy(
+        sorted(d.glob("part-*.parquet"))[0], stream_dir / f"{name}.parquet"
+    )
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_stream_cli_two_invocation_resume(spark, tmp_path, capsys):
+    """Invocation 2 with the same --checkpoints drains ONLY the new
+    wave (cumulative counts grow, nothing re-emitted) and its docs
+    flag against wave-1 reps (state survived between invocations)."""
+    stage = tmp_path / "stage"
+    stream_dir = tmp_path / "in"
+    stage.mkdir(), stream_dir.mkdir()
+    args = [
+        "--input", str(stream_dir),
+        "--output", str(tmp_path / "out"),
+        "--checkpoints", str(tmp_path / "ckpt"),
+    ]
+
+    _stage_wave(spark, stage, stream_dir, "w0", [
+        ("arepo", "a.py", "c0", "python", TEXT),
+        ("brepo", "b.py", "c0", "python", TEXT + "# v2\n"),
+    ])
+    r1 = _run(capsys, args)
+    # the planted texts fail the perplexity score (kept=0) — keep
+    # PARITY with batch is pinned by the corpus test below; here the
+    # report just has to reflect the enriched sink faithfully
+    assert r1["rows"] == 2 and r1["kept"] == 0
+    assert r1["near_dups"] == 1  # b flagged against rep a
+
+    _stage_wave(spark, stage, stream_dir, "w1", [
+        ("crepo", "c.py", "c0", "python", TEXT + "# v3\n"),
+    ])
+    r2 = _run(capsys, args)
+    # cumulative sink counts: exactly one enriched row per input row
+    # ever ingested — a re-emission would overshoot 3
+    assert r2["rows"] == 3 and r2["kept"] == 0
+    assert r2["near_dups"] == 2, "wave-2 doc not flagged (state lost?)"
+    assert r2["candidates"] > r1["candidates"]
+
+    # the enriched sink parquet holds each doc exactly once
+    enr = spark.read.parquet(str(tmp_path / "out" / "enriched"))
+    keys = [r["doc_key"] for r in enr.select("doc_key").collect()]
+    assert sorted(keys) == sorted(set(keys))
+    assert len(keys) == 3
+
+
+def test_stream_cli_single_drain_matches_batch_counts(
+    spark, tmp_path, capsys
+):
+    """One drain of a whole corpus in ONE micro-batch must report the
+    batch pipeline's near-dup count (the library's single-batch ≡
+    batch equivalence, observed through the CLI's cumulative report)
+    and the batch keep count (enrich parity)."""
+    from bmpp.pipeline import build_plan
+
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    corpus.corpus_df(spark, 400, partitions=2).drop("plant").write.mode(
+        "overwrite"
+    ).parquet(str(stream_dir))
+    r = _run(capsys, [
+        "--input", str(stream_dir),
+        "--output", str(tmp_path / "out"),
+        "--checkpoints", str(tmp_path / "ckpt"),
+        "--max-files-per-trigger", "0",
+    ])
+    cfg = rules.PipelineConfig()
+    batch = build_plan(spark.read.parquet(str(stream_dir)), cfg)
+    # exact-dup docs are excluded from batch near-dup candidates but
+    # not from the (dedup-less) stream; compare on the common subset:
+    # batch near_dup_of is the ground truth the stream must agree with
+    # on docs that are not exact dups
+    want = batch.filter("near_dup_of IS NOT NULL AND dup_of IS NULL").count()
+    assert r["rows"] == 400
+    enr = spark.read.parquet(str(tmp_path / "out" / "enriched"))
+    got_keep = {
+        r2["doc_key"] for r2 in enr.filter("keep").select("doc_key").collect()
+    }
+    want_keep = {
+        r2["doc_key"]
+        for r2 in build_plan(
+            spark.read.parquet(str(stream_dir)),
+            rules.PipelineConfig(do_near_dedup=False, do_dedup=False),
+        ).filter("keep").select("doc_key").collect()
+    }
+    assert got_keep == want_keep
+    assert r["kept"] == len(want_keep)
+    # stream flags a superset of the batch's near-dups on non-exact-dup
+    # docs (no exact-dup exclusion in the dedup-less stream — exact
+    # dups can both be flagged and serve as bucket reps there)
+    assert r["near_dups"] >= want > 0
+
+
+def test_stream_cli_refuses_batch_only_flags(spark, tmp_path):
+    base = [
+        "--input", str(tmp_path), "--output", str(tmp_path / "o"),
+        "--checkpoints", str(tmp_path / "c"),
+    ]
+    (tmp_path / "dummy").mkdir()
+    corpus.corpus_df(spark, 5).drop("plant").write.mode("overwrite").parquet(
+        str(tmp_path / "dummy")
+    )
+    base[1] = str(tmp_path / "dummy")
+    with pytest.raises(SystemExit):
+        main(base + ["--split"])
+    with pytest.raises(SystemExit):
+        main(base + ["--remove-duplicates"])
+    # bucket caps are refused by the shared stream plan builder
+    with pytest.raises(ValueError, match="batch-only"):
+        main(base + ["--stage", "neardup", "--neardup-algo", "simhash",
+                     "--simhash-chunk-cap", "64"])
