@@ -39,8 +39,10 @@ PROFILES: dict[str, PipelineConfig] = {
     # uncapped chunk buckets degenerating quadratically on templated
     # corpora (~2.5B candidate pairs projected at 400k rows), so the
     # named preset ships scale-safe; construct PipelineConfig directly
-    # (or pass --simhash-chunk-cap 0 semantics via a custom config) for
-    # the exact uncapped variant.
+    # or pass --simhash-chunk-cap 0 for the exact uncapped variant.
+    # run_stream.py drops this profile-default cap with a printed
+    # notice (caps are batch-only), so the preset stays usable on the
+    # streaming surface too.
     "simhash_neardup": PipelineConfig(
         neardup_algo="simhash", simhash_chunk_bucket_cap=256
     ),

@@ -249,6 +249,20 @@ class PipelineConfig:
                 "neardup_min_band_matches must be ≥ 1, got "
                 f"{self.neardup_min_band_matches}"
             )
+        # salt counts feed pmod(hash, salt): 0 would raise
+        # DIVIDE_BY_ZERO under Spark 4's default ANSI mode — or, with
+        # ANSI off, return NULL and silently match NOTHING in the
+        # salted flag joins (dups reported as 0 with no error)
+        if self.dedup_salt_buckets < 1:
+            raise ValueError(
+                f"dedup_salt_buckets must be ≥ 1, got "
+                f"{self.dedup_salt_buckets}"
+            )
+        if self.join_salt_buckets < 1:
+            raise ValueError(
+                f"join_salt_buckets must be ≥ 1, got "
+                f"{self.join_salt_buckets}"
+            )
 
     def config_hash(self) -> str:
         import json

@@ -361,7 +361,12 @@ def stream_hourly_counts(spark: SparkSession, events_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
-NEARDUP_STREAM_SCHEMA = "doc_key string, near_dup_of string"
+# candidate rows carry the LSH bucket key (band hash / chunk bucket)
+# so the downstream reduction can count DISTINCT buckets per
+# (doc, rep) — the idempotence key that makes a re-ingested doc's
+# re-emitted row harmless (same doc, same bucket, same rep → one
+# distinct bucket, not an extra band match)
+NEARDUP_STREAM_SCHEMA = "doc_key string, near_dup_of string, bucket long"
 
 
 def reduce_neardup_candidates(
@@ -373,22 +378,27 @@ def reduce_neardup_candidates(
 
     ``min_band_matches`` is the r-of-b precision policy
     (PipelineConfig.neardup_min_band_matches): keep a (doc, rep) pair
-    only when it collided in ≥ that many buckets. This consumer-side
-    aggregation is EXACT for the stream, not an approximation: all of
-    one doc's band rows explode from its single arrival row, so they
-    land in the same micro-batch and its per-(doc, rep) collision
-    counts never straddle batches — the same counts batch near_flags
-    aggregates (tested single-batch-equal for k ≥ 1; the one
-    theoretical divergence is a doc whose band array repeats a hash
-    value — batch counts band slots, the stream's per-bucket set
-    counts distinct buckets — at ~2^-64 per doc). Kept out of the
-    stateful operator itself so the stream stays a single stage
-    (chaining a second stateful agg would constrain output modes)."""
+    only when it collided in ≥ that many DISTINCT buckets. This
+    consumer-side aggregation is EXACT for the stream, not an
+    approximation: all of one doc's band rows explode from its single
+    arrival row, so they land in the same micro-batch and its
+    per-(doc, rep) bucket set never straddles batches — the same
+    counts batch near_flags aggregates (tested single-batch-equal for
+    k ≥ 1; the one theoretical divergence is a doc whose band array
+    repeats a hash value — batch counts band slots, this counts
+    distinct buckets — at ~2^-64 per doc). Counting DISTINCT buckets
+    (not rows) also makes the reduction idempotent under
+    re-ingestion: a producer re-crawling a doc makes the stateful
+    stream re-emit the identical (doc, bucket, rep) row into a
+    cumulative sink, which must not count as an extra band match.
+    Kept out of the stateful operator itself so the stream stays a
+    single stage (chaining a second stateful agg would constrain
+    output modes)."""
     hits = cands
     if min_band_matches > 1:
         hits = (
             hits.groupBy("doc_key", "near_dup_of")
-            .agg(F.count(F.lit(1)).alias("_matches"))
+            .agg(F.countDistinct("bucket").alias("_matches"))
             .filter(F.col("_matches") >= min_band_matches)
         )
     return hits.groupBy("doc_key").agg(F.min("near_dup_of").alias("near_dup_of"))
@@ -431,9 +441,10 @@ def stream_neardup_flags(
       flagged via that chunk; the rep-verify semantics are themselves
       SQL-checkable (queries.SQL_STREAM_SIMHASH oracle).
 
-    Output rows are per-(doc, bucket) candidates in update mode; the
-    per-doc reduction is left to the consumer so the stream stays a
-    single stateful operator."""
+    Output rows are per-(doc, bucket) candidates (carrying the bucket
+    key — the idempotence handle for re-ingestion) in update mode;
+    the per-doc reduction is left to the consumer so the stream stays
+    a single stateful operator."""
     cfg = cfg or rules.PipelineConfig()
     plan = _neardup_stream_plan(
         spark, input_dir, schema, cfg, max_files_per_trigger, "update"
@@ -461,10 +472,14 @@ def start_neardup_stream(
     test/driver convenience).
 
     The stateful operator runs in APPEND output mode here — legitimate
-    because a (doc, bucket) candidate row is emitted at most once,
-    when the doc arrives, and never revised (reps are never
-    retro-applied), so append and update modes carry identical rows
-    for this operator; file sinks only accept append.
+    because a (doc, bucket, rep) candidate row is never REVISED (reps
+    are never retro-applied), so append and update modes carry
+    identical rows for this operator; file sinks only accept append.
+    A re-ingested doc (producer re-crawl) re-emits its identical
+    candidate row into the cumulative sink; consumers are exposed to
+    that by contract and ``reduce_neardup_candidates`` is idempotent
+    to it (r-of-b counts DISTINCT buckets per (doc, rep), and the
+    per-doc min-rep reduction is duplicate-insensitive).
 
     Returns the RUNNING StreamingQuery (caller owns stop()); with
     ``available_now`` the query drains what exists and finishes, the
@@ -559,7 +574,11 @@ def _stream_minhash_neardup(
         flagged = [d for d in docs if d != new_rep]
         if (n + len(docs)) > 1 and flagged:
             yield pd.DataFrame(
-                {"doc_key": flagged, "near_dup_of": [new_rep] * len(flagged)}
+                {
+                    "doc_key": flagged,
+                    "near_dup_of": [new_rep] * len(flagged),
+                    "bucket": [int(key[0])] * len(flagged),
+                }
             )
 
     return pairs.groupBy("band_hash").applyInPandasWithState(
@@ -625,17 +644,21 @@ def _stream_simhash_neardup(
 
     def update(key, pdfs, state: GroupState):
         rep, rep_fp, n = state.get if state.exists else (None, 0, 0)
-        arrivals = sorted(
-            {
-                (k, int(v))
-                for pdf in pdfs
-                for k, v in zip(pdf["doc_key"], pdf["fp64"])
-            }
-        )
-        if not arrivals:
+        # dedupe arrivals by doc_key (matching the minhash stream's
+        # per-doc set): a doc whose old and re-crawled versions land
+        # in one micro-batch AND one bucket is processed once, with
+        # the smallest fingerprint as the deterministic tiebreak (a
+        # pure function of the data, not of file packing)
+        best: dict = {}
+        for pdf in pdfs:
+            for k, v in zip(pdf["doc_key"], pdf["fp64"]):
+                v = int(v)
+                if k not in best or v < best[k]:
+                    best[k] = v
+        if not best:
             return
         flagged = []
-        for k, v in arrivals:  # doc_key order ≡ one-at-a-time replay
+        for k, v in sorted(best.items()):  # key order ≡ one-at-a-time
             n += 1
             if rep is None or k < rep:
                 rep, rep_fp = k, v
@@ -648,7 +671,11 @@ def _stream_simhash_neardup(
         state.update((rep, rep_fp, n))
         if flagged:
             yield pd.DataFrame(
-                {"doc_key": flagged, "near_dup_of": [rep] * len(flagged)}
+                {
+                    "doc_key": flagged,
+                    "near_dup_of": [rep] * len(flagged),
+                    "bucket": [int(key[0])] * len(flagged),
+                }
             )
 
     return pairs.groupBy("chunk_bucket").applyInPandasWithState(

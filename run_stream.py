@@ -19,7 +19,8 @@ never re-emits a processed row (exactly-once file sinks). Stages:
 - ``neardup``: algo-dispatched stateful near-dup flagging
   (bmpp.streaming.start_neardup_stream — MinHash band buckets or
   SimHash chunk buckets + hamming verify) appending (doc_key,
-  near_dup_of) candidate rows to ``<output>/neardup_candidates``;
+  near_dup_of, bucket) candidate rows to
+  ``<output>/neardup_candidates``;
   the per-doc reduction (incl. the r-of-b policy) is applied at
   REPORT time over the cumulative sink, matching
   bmpp.streaming.reduce_neardup_candidates semantics.
@@ -31,10 +32,17 @@ monotone ingestion report.
 
 Batch-only knobs are refused loudly rather than silently ignored:
 ``--split`` / ``--remove-duplicates`` need whole-corpus visibility
-(retroactive row removal); the bucket caps are refused inside
-bmpp.streaming (global hash-order top-cap needs full bucket
-membership). The batch pipeline remains the exact ground truth for
-those configs.
+(retroactive row removal); EXPLICIT bucket-cap flags are refused
+inside bmpp.streaming (global hash-order top-cap needs full bucket
+membership). One carve-out keeps the named presets usable here: a
+cap that rides in from a ``--profile`` DEFAULT (e.g.
+simhash_neardup's scale-safe batch cap) is dropped with a printed
+notice instead of refused — the user asked for the profile's
+algorithm, not its batch-only safety valve. An explicitly passed
+``--simhash-chunk-cap``/``--neardup-bucket-cap`` still errors. A
+``--stage`` whose config disables that stage is an error, not a
+silent no-op. The batch pipeline remains the exact ground truth for
+batch-only configs.
 """
 
 from __future__ import annotations
@@ -86,6 +94,28 @@ def main(argv=None) -> int:
                 "removal needs whole-corpus visibility; the stream "
                 "emits flags (near_dup candidates), it never drops "
                 "rows — reduce the candidate sink downstream instead")
+    if args.stage == "neardup" and not cfg.do_near_dedup:
+        p.error("--stage neardup requested but the resolved config "
+                "disables near-dup (profile or --no-near-dedup) — an "
+                "explicitly requested stage must not silently no-op")
+    # profile-default batch-only caps are DROPPED with a notice (the
+    # preset's algorithm is wanted, its batch safety valve can't
+    # apply); explicitly passed cap flags still hit the stream plan
+    # builder's hard refusal
+    dropped = {}
+    if cfg.simhash_chunk_bucket_cap and args.simhash_chunk_cap is None:
+        dropped["simhash_chunk_bucket_cap"] = None
+    if cfg.neardup_bucket_cap and args.neardup_bucket_cap is None:
+        dropped["neardup_bucket_cap"] = None
+    if dropped and args.stage in ("neardup", "both") and cfg.do_near_dedup:
+        print(
+            f"run_stream: batch-only profile knobs {sorted(dropped)} "
+            "ignored for the stream (global hash-order caps need whole-"
+            "bucket membership; pass the flag explicitly to get the "
+            "loud refusal, or run run_pipeline.py for capped configs)",
+            file=sys.stderr,
+        )
+        cfg = dataclasses.replace(cfg, **dropped)
 
     schema = spark.read.parquet(args.input).schema  # batch probe
     mft = args.max_files_per_trigger or None
@@ -103,8 +133,16 @@ def main(argv=None) -> int:
             output_dir=f"{args.output}/enriched",
             checkpoint=f"{args.checkpoints}/enrich",
         )
-        report["rows"] = enriched.count()
-        report["kept"] = enriched.filter("keep").count()
+        # one aggregation pass over the (ever-growing) cumulative sink
+        # instead of two full count jobs
+        from pyspark.sql import functions as F
+
+        row = enriched.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+        ).collect()[0]
+        report["rows"] = row["rows"]
+        report["kept"] = int(row["kept"] or 0)
 
     if args.stage in ("neardup", "both") and cfg.do_near_dedup:
         from bmpp.streaming import (
@@ -121,6 +159,10 @@ def main(argv=None) -> int:
         )
         q.awaitTermination()
         cands = spark.read.schema(NEARDUP_STREAM_SCHEMA).parquet(cand_dir)
+        # raw candidate-row count (count(*) over parquet is served from
+        # footer row counts, not a data scan); includes re-emissions
+        # from re-ingested docs — the reduction below is idempotent to
+        # those (distinct-bucket r-of-b counts)
         report["candidates"] = cands.count()
         report["near_dups"] = reduce_neardup_candidates(
             cands, cfg.neardup_min_band_matches

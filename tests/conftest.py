@@ -17,6 +17,41 @@ def spark():
     s.stop()
 
 
+# --- shared streaming-wave fixtures (test_streaming / test_run_stream)
+
+# single-occurrence token edits on this non-repeated base measure
+# hamming 1 against it while sharing exactly 3 of the 4 simhash chunks
+# (verified offline with models.simhash; a REPEATED base would
+# vote-saturate and tiny edits would land at hamming 0)
+WAVE_TEXT = (
+    "def handler(request, ctx):\n"
+    "    payload = request.json()\n"
+    "    return process(payload, ctx)\n"
+    "class Worker:\n"
+    "    def run(self, queue, limit):\n"
+    "        for item in queue.take(limit):\n"
+    "            self.emit(item)\n"
+)
+WAVE_SCHEMA = ("repo string, path string, commit string, lang string, "
+               "content string")
+
+
+def stage_wave(spark, stage_dir, stream_dir, name, rows):
+    """Write ``rows`` as one parquet part file named ``<name>.parquet``
+    inside ``stream_dir`` — an atomic 'producer appended a file' wave
+    for a streaming file source."""
+    import shutil
+
+    d = Path(stage_dir) / name
+    spark.createDataFrame(rows, WAVE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    shutil.copy(
+        sorted(d.glob("part-*.parquet"))[0],
+        Path(stream_dir) / f"{name}.parquet",
+    )
+
+
 def plan_of(df) -> str:
     """Formatted physical plan (shared by plan-guard test files; the
     _jvm/PythonSQLUtils surface is Spark-private, so keep the single

@@ -8,34 +8,13 @@ test_streaming.py; these tests pin the CLI wiring on top."""
 from __future__ import annotations
 
 import json
-import shutil
 
 import pytest
+from conftest import WAVE_TEXT as TEXT
+from conftest import stage_wave as _stage_wave
 
 from bmpp import corpus, rules
 from run_stream import main
-
-TEXT = (
-    "def handler(request, ctx):\n"
-    "    payload = request.json()\n"
-    "    return process(payload, ctx)\n"
-    "class Worker:\n"
-    "    def run(self, queue, limit):\n"
-    "        for item in queue.take(limit):\n"
-    "            self.emit(item)\n"
-)
-SCHEMA = ("repo string, path string, commit string, lang string, "
-          "content string")
-
-
-def _stage_wave(spark, stage_dir, stream_dir, name, rows):
-    d = stage_dir / name
-    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(str(d))
-    shutil.copy(
-        sorted(d.glob("part-*.parquet"))[0], stream_dir / f"{name}.parquet"
-    )
 
 
 def _run(capsys, argv):
@@ -151,3 +130,34 @@ def test_stream_cli_refuses_batch_only_flags(spark, tmp_path):
     with pytest.raises(ValueError, match="batch-only"):
         main(base + ["--stage", "neardup", "--neardup-algo", "simhash",
                      "--simhash-chunk-cap", "64"])
+    # an explicitly requested stage the config disables must not
+    # silently no-op
+    with pytest.raises(SystemExit):
+        main(base + ["--stage", "neardup", "--no-near-dedup"])
+
+
+def test_stream_cli_profile_default_cap_dropped_with_notice(
+    spark, tmp_path, capsys
+):
+    """--profile simhash_neardup ships a batch-only chunk cap; the
+    stream driver must drop the PROFILE-DEFAULT cap with a printed
+    notice (the preset stays usable) rather than crash — only an
+    explicit --simhash-chunk-cap hits the hard refusal."""
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    _stage_wave(spark, tmp_path, stream_dir, "w0", [
+        ("arepo", "a.py", "c0", "python", TEXT),
+        ("zrepo", "b.py", "c0", "python",
+         TEXT.replace("queue", "queu3", 1)),
+    ])
+    rc = main([
+        "--input", str(stream_dir),
+        "--output", str(tmp_path / "out"),
+        "--checkpoints", str(tmp_path / "ckpt"),
+        "--stage", "neardup",
+        "--profile", "simhash_neardup",
+    ])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "batch-only profile knobs" in cap.err
+    assert json.loads(cap.out.strip().splitlines()[-1])["near_dups"] == 1

@@ -98,6 +98,18 @@ def test_invalid_algo_rejected():
         rules.PipelineConfig(neardup_algo="xxhash")
 
 
+def test_zero_salt_rejected():
+    """Salt counts feed pmod(hash, salt): 0 would either raise
+    DIVIDE_BY_ZERO (ANSI) or silently match nothing in the salted
+    flag joins — the config must refuse it up front."""
+    with pytest.raises(ValueError, match="dedup_salt_buckets"):
+        rules.PipelineConfig(dedup_salt_buckets=0)
+    with pytest.raises(ValueError, match="join_salt_buckets"):
+        rules.PipelineConfig(join_salt_buckets=0)
+    with pytest.raises(ValueError, match="join_salt_buckets"):
+        rules.PipelineConfig(join_salt_buckets=-4)
+
+
 def test_streaming_rejects_capped_simhash_config(spark, tmp_path):
     """Uncapped simhash streams fine (r6: the chunk-bucket stateful
     stream — tests/test_streaming.py); the CAP stays batch-only (the

@@ -481,23 +481,11 @@ def test_start_neardup_stream_exactly_once_resume(spark, tmp_path_factory):
     must flag against the wave-1 reps (state survived the restart),
     and the sink total must equal the single synchronous stream run
     over both waves."""
-    import shutil
-
-    from pyspark.sql import functions as F
+    from conftest import WAVE_TEXT as text
+    from conftest import stage_wave
 
     from bmpp.streaming import start_neardup_stream, stream_neardup_flags
 
-    text = (
-        "def handler(request, ctx):\n"
-        "    payload = request.json()\n"
-        "    return process(payload, ctx)\n"
-        "class Worker:\n"
-        "    def run(self, queue, limit):\n"
-        "        for item in queue.take(limit):\n"
-        "            self.emit(item)\n"
-    )
-    schema = ("repo string, path string, commit string, lang string, "
-              "content string")
     stage = tmp_path_factory.mktemp("cont_stage")
     stream_dir = tmp_path_factory.mktemp("cont_stream")
     sink = str(tmp_path_factory.mktemp("cont_sink") / "out")
@@ -506,13 +494,9 @@ def test_start_neardup_stream_exactly_once_resume(spark, tmp_path_factory):
          ("brepo", "b.py", "c0", "python", text + "# v2\n")],
         [("crepo", "c.py", "c0", "python", text + "# v3\n")],
     ]
-    for i, rows in enumerate(waves):
-        d = stage / f"w{i}"
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(d))
 
-    src_schema = spark.read.parquet(str(stage / "w0")).schema
+    stage_wave(spark, stage, stream_dir, "wave0", waves[0])
+    src_schema = spark.read.parquet(str(stage / "wave0")).schema
 
     def drain():
         q = start_neardup_stream(
@@ -520,19 +504,12 @@ def test_start_neardup_stream_exactly_once_resume(spark, tmp_path_factory):
         )
         q.awaitTermination()
 
-    shutil.copy(
-        sorted((stage / "w0").glob("part-*.parquet"))[0],
-        stream_dir / "wave0.parquet",
-    )
     drain()
     first = spark.read.parquet(sink).collect()
     flags1 = {(r["doc_key"], r["near_dup_of"]) for r in first}
     assert flags1 == {("brepo/b.py@c0", "arepo/a.py@c0")}, flags1
 
-    shutil.copy(
-        sorted((stage / "w1").glob("part-*.parquet"))[0],
-        stream_dir / "wave1.parquet",
-    )
+    stage_wave(spark, stage, stream_dir, "wave1", waves[1])
     drain()  # SAME checkpoint: resumes, does not reprocess wave 0
     both = spark.read.parquet(sink).collect()
     # exactly-once: wave-1 docs gained NO new rows on resume (one row
@@ -778,6 +755,52 @@ def test_stream_simhash_single_batch_matches_rep_verify(spark, corpus_dir):
     assert got == want
 
 
+def test_reingestion_does_not_inflate_rofb_counts(
+    spark, tmp_path_factory
+):
+    """A producer re-crawling a doc re-emits its identical (doc,
+    bucket, rep) candidate rows into the cumulative sink; the r-of-b
+    reduction must count DISTINCT buckets, not rows, or the re-crawl
+    converts '3 chunk matches' into '6' and falsely flags under
+    k > 3. WAVE_TEXT's 1-token edit is hamming 1 ⇒ exactly 3 of the
+    4 simhash chunks shared with the rep."""
+    from conftest import WAVE_TEXT as text
+    from conftest import stage_wave
+
+    from bmpp.streaming import reduce_neardup_candidates, stream_neardup_flags
+
+    stage = tmp_path_factory.mktemp("reing_stage")
+    stream_dir = tmp_path_factory.mktemp("reing_stream")
+    a = [("arepo", "a.py", "c0", "python", text)]
+    b = [("zrepo", "b.py", "c0", "python",
+          text.replace("queue", "queu3", 1))]
+    stage_wave(spark, stage, stream_dir, "wave0", a)
+    stage_wave(spark, stage, stream_dir, "wave1", b)
+    stage_wave(spark, stage, stream_dir, "wave2", b)  # re-crawl of b
+
+    cands = stream_neardup_flags(
+        spark, str(stream_dir),
+        spark.read.parquet(str(stage / "wave0")).schema,
+        cfg=rules.PipelineConfig(neardup_algo="simhash"),
+    )
+    rows = cands.collect()
+    # 3 shared chunk buckets × 2 ingestions of b
+    assert len(rows) == 6, rows
+    assert {(r["doc_key"], r["near_dup_of"]) for r in rows} == {
+        ("zrepo/b.py@c0", "arepo/a.py@c0")
+    }
+    assert len({r["bucket"] for r in rows}) == 3
+    # k=3: the true distinct-bucket count — flagged
+    k3 = {
+        (r["doc_key"], r["near_dup_of"])
+        for r in reduce_neardup_candidates(cands, 3).collect()
+    }
+    assert k3 == {("zrepo/b.py@c0", "arepo/a.py@c0")}
+    # k=4: only 3 distinct buckets ever matched; the re-crawl's 6 raw
+    # rows must NOT satisfy it (row-count semantics would false-flag)
+    assert reduce_neardup_candidates(cands, 4).count() == 0
+
+
 def test_stream_simhash_first_seen_wins_across_batches(
     spark, tmp_path_factory
 ):
@@ -785,27 +808,12 @@ def test_stream_simhash_first_seen_wins_across_batches(
     against the earlier bucket rep; a colliding doc BEYOND the radius
     is not flagged; an earlier doc is never retro-flagged when a
     smaller key arrives later."""
-    import shutil
-
+    from conftest import WAVE_TEXT as text
+    from conftest import stage_wave
     from pyspark.sql import functions as F
 
     from bmpp.streaming import stream_neardup_flags
 
-    # single-occurrence token edits on a non-repeated base measure
-    # hamming 1 against it while sharing ≥3 of the 4 chunks (verified
-    # offline with models.simhash; a REPEATED base would vote-saturate
-    # and tiny edits would land at hamming 0)
-    text = (
-        "def handler(request, ctx):\n"
-        "    payload = request.json()\n"
-        "    return process(payload, ctx)\n"
-        "class Worker:\n"
-        "    def run(self, queue, limit):\n"
-        "        for item in queue.take(limit):\n"
-        "            self.emit(item)\n"
-    )
-    schema = ("repo string, path string, commit string, lang string, "
-              "content string")
     stage = tmp_path_factory.mktemp("sh_stage")
     stream_dir = tmp_path_factory.mktemp("sh_stream")
     waves = [
@@ -821,18 +829,11 @@ def test_stream_simhash_first_seen_wins_across_batches(
         [("wrepo", "d.py", "c0", "python", text.replace("item", "elem", 1))],
     ]
     for i, rows in enumerate(waves):
-        d = stage / f"w{i}"
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(d))
-        shutil.copy(
-            sorted(d.glob("part-*.parquet"))[0],
-            stream_dir / f"wave{i}.parquet",
-        )
+        stage_wave(spark, stage, stream_dir, f"wave{i}", rows)
 
     out = stream_neardup_flags(
         spark, str(stream_dir),
-        spark.read.parquet(str(stage / "w0")).schema,
+        spark.read.parquet(str(stage / "wave0")).schema,
         cfg=rules.PipelineConfig(neardup_algo="simhash"),
     )
     flags = {
