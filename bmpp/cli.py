@@ -86,6 +86,15 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
         "(default 16); raise on wide clusters so the hottest key's "
         "share fits one task",
     )
+    p.add_argument(
+        "--no-broadcast-flags", action="store_true",
+        help="join the (doc_key -> dup/near flags) table by shuffle "
+        "instead of broadcast. Use when the flagged fraction is large "
+        "enough that collecting the flag table to the driver breaks "
+        "(spark.driver.maxResultSize) or broadcasting it to every "
+        "executor is slower than one shuffle of the unique, unskewed "
+        "doc_key — measured to bind at ~10M+ flag rows",
+    )
 
 
 def config_from_args(
@@ -126,6 +135,8 @@ def config_from_args(
         overrides["dedup_salt_buckets"] = args.dedup_salt
     if args.join_salt is not None:
         overrides["join_salt_buckets"] = args.join_salt
+    if args.no_broadcast_flags:
+        overrides["broadcast_flags"] = False
     if args.keep_predicate:
         overrides["extra_keep_predicates"] = tuple(args.keep_predicate)
     if args.scrub_pattern:

@@ -93,6 +93,19 @@ def scan_partitions(extra_confs: list[str]) -> int:
     return n
 
 
+# Above this input size the synthetic corpus's saturating near-dup
+# rate (~55%+ flagged) makes the flag table outgrow the broadcast
+# plan: at 16M rows collecting it for broadcast blows
+# spark.driver.maxResultSize (measured: >1.38 GiB of task results vs
+# the 1 GiB default). The pipeline's designed escape is
+# cfg.broadcast_flags=False (one shuffle on the unique, unskewed
+# doc_key — rules.py:192-197), so the big octaves run with
+# --no-broadcast-flags; the choice is physical-plan-only (counts
+# asserted identical across regimes as always) and is recorded in
+# the octave entry.
+NO_BROADCAST_ABOVE_ROWS = 8_000_000
+
+
 def run_regime(name: str) -> dict:
     zip_path = "/tmp/bmpp_scale.zip"
     subprocess.run(["zip", "-qr", zip_path, "bmpp"], cwd=REPO, check=True)
@@ -113,6 +126,8 @@ def run_regime(name: str) -> dict:
         "--output", f"/tmp/bmpp_scale_out_{name}",
         "--sink", "noop",
     ]
+    if ROWS > NO_BROADCAST_ABOVE_ROWS:
+        cmd.append("--no-broadcast-flags")
     proc = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
     report = json.loads(proc.stdout.strip().splitlines()[-1])
     report["regime"] = name
@@ -187,6 +202,7 @@ def main() -> None:
         "corpus_mb": round(corpus_bytes / 1e6),
         "cores": CORES,
         "protocol": PROTOCOL,
+        "broadcast_flags": ROWS <= NO_BROADCAST_ABOVE_ROWS,
         "regimes": {
             n: {
                 "wall_sec": r["wall_sec"],
@@ -209,6 +225,7 @@ def main() -> None:
         "regimes": summary["regimes"],
         "counts": summary["counts"],
         "production_vs_sf01_ratio": summary["production_vs_sf01_ratio"],
+        "broadcast_flags": summary["broadcast_flags"],
     }
     summary["octaves"] = {str(k): octaves[k] for k in sorted(octaves)}
     (REPO / "BENCH").mkdir(exist_ok=True)
@@ -259,17 +276,31 @@ def main() -> None:
             "fixed-size box — a falling rows/s column would mean some",
             "stage is super-linear in input size.",
             "",
-            "| rows | production wall (s) | rows/s | vs sf0.1 headline |",
-            "| --- | --- | --- | --- |",
+            "| rows | production wall (s) | rows/s | vs sf0.1 headline "
+            "| flag join |",
+            "| --- | --- | --- | --- | --- |",
         ]
         for rc in sorted(octaves):
             o = octaves[rc]
             pr = o.get("regimes", {}).get("production", {})
+            bj = "broadcast" if o.get("broadcast_flags", True) else "shuffled"
             lines.append(
                 f"| {rc:,} | {pr.get('wall_sec')} | {pr.get('rows_per_sec')} "
-                f"| {o.get('production_vs_sf01_ratio')}× |"
+                f"| {o.get('production_vs_sf01_ratio')}× | {bj} |"
             )
-        lines.append("")
+        lines += [
+            "",
+            "The synthetic corpus's near-dup rate saturates with N",
+            "(~55%+ of rows flagged at 16M), so the biggest octaves",
+            "run the pipeline's designed broadcast escape",
+            "(`--no-broadcast-flags`, cfg.broadcast_flags=False): at",
+            "16M rows, collecting the flag table for broadcast",
+            "measurably exceeds spark.driver.maxResultSize (>1.38 GiB",
+            "vs the 1 GiB default) — the shuffled join on the unique,",
+            "unskewed doc_key is the at-scale plan. Physical plan",
+            "choice only; counts are unaffected.",
+            "",
+        ]
     # preserve the salted-balance section on rewrite (its evidence
     # comes from scripts/salted_balance.py, not this script — round 4
     # lost the section once to this wholesale write_text)

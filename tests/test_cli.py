@@ -33,6 +33,18 @@ def test_cli_persists_run_report(spark, tmp_path):
     assert grp.agg({"rows": "sum"}).collect()[0][0] == report["rows"]
 
 
+def test_cli_no_broadcast_flags_maps_to_config():
+    import argparse
+
+    from bmpp.cli import add_config_args, config_from_args
+
+    p = argparse.ArgumentParser()
+    add_config_args(p)
+    assert config_from_args(p, p.parse_args([])).broadcast_flags is True
+    cfg = config_from_args(p, p.parse_args(["--no-broadcast-flags"]))
+    assert cfg.broadcast_flags is False
+
+
 def test_cli_noop_sink_skips_report_file(tmp_path):
     out = tmp_path / "noop_out"
     rc = main(["--input", "synth:200", "--output", str(out), "--sink", "noop"])

@@ -134,6 +134,23 @@ def test_assemble_broadcasts_flags(spark, corpus_parquet):
     assert "BroadcastHashJoin LeftOuter" in plan or "BroadcastHashJoin" in plan
 
 
+def test_assemble_no_broadcast_escape(spark, corpus_parquet):
+    """broadcast_flags=False (the >~10M-flag-rows escape: collecting
+    the flag table for broadcast blows spark.driver.maxResultSize at
+    the 16M-row octave) must fall back to a shuffled join — no
+    broadcast of the flag table anywhere in the final assemble."""
+    from bmpp.pipeline import build_plan
+
+    df = build_plan(
+        spark.read.parquet(corpus_parquet),
+        rules.PipelineConfig(broadcast_flags=False),
+        materialize=False,
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin LeftOuter" not in plan
+    assert "SortMergeJoin LeftOuter" in plan or "ShuffledHashJoin" in plan
+
+
 def test_minhash_neardup_is_salted_and_persisted(spark):
     """Round-4 cure (VERDICT r3 item 2): the catalog MinHash query must
     carry the production near_flags discipline — the exploded band
