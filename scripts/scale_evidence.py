@@ -106,6 +106,19 @@ def scan_partitions(extra_confs: list[str]) -> int:
 NO_BROADCAST_ABOVE_ROWS = 8_000_000
 
 
+def _driver_mem() -> str:
+    """local-mode quirk: ONE JVM hosts all 32 task slots, so heap must
+    scale with the octave (a real cluster has this memory per
+    EXECUTOR — 16g × 32 slots is modest there). 16g OOMs (exit 52)
+    on the 16M-row shuffled-join octave; 32g is per-task parity with
+    the 8M octave."""
+    import os
+
+    if os.environ.get("BMPP_SCALE_DRIVER_MEM"):
+        return os.environ["BMPP_SCALE_DRIVER_MEM"]
+    return "32g" if ROWS > NO_BROADCAST_ABOVE_ROWS else "16g"
+
+
 def run_regime(name: str) -> dict:
     zip_path = "/tmp/bmpp_scale.zip"
     subprocess.run(["zip", "-qr", zip_path, "bmpp"], cwd=REPO, check=True)
@@ -115,7 +128,7 @@ def run_regime(name: str) -> dict:
         "--conf", f"spark.sql.shuffle.partitions={CORES}",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.ui.enabled=false",
-        "--conf", "spark.driver.memory=16g",
+        "--conf", f"spark.driver.memory={_driver_mem()}",
         # RAM-backed block dirs: one physical disk serializes block IO
         # (a real cluster has per-executor disks)
         "--conf", "spark.local.dir=/dev/shm/bmpp_spark",
@@ -128,7 +141,18 @@ def run_regime(name: str) -> dict:
     ]
     if ROWS > NO_BROADCAST_ABOVE_ROWS:
         cmd.append("--no-broadcast-flags")
-    proc = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
+    # surface the child's stderr on failure (a swallowed exit-52 OOM
+    # cost a debugging round-trip); 2h timeout catches the hung-JVM
+    # failure mode the same OOM produced once
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=7200
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise SystemExit(
+            f"{name} regime spark-submit failed (exit {proc.returncode}); "
+            "stderr tail above"
+        )
     report = json.loads(proc.stdout.strip().splitlines()[-1])
     report["regime"] = name
     return report
