@@ -116,14 +116,24 @@ def main() -> None:
     spark = get_spark(app="bmpp-catalog-scale", cores=32, extra=extra)
 
     # keep only queries reading documents/embeddings exclusively (the
-    # synthetic dir has no TPC-H tables)
+    # synthetic dir has no TPC-H tables). Table access may sit one
+    # level down in a shared module-level helper (e.g. the two stream
+    # queries delegate to _stream_neardup_catalog), so union each
+    # q_ function's direct _t() reads with those of any local helper
+    # it calls — without this, refactoring a query's body into a
+    # helper silently drops it from the subset.
     src = open(REPO / "bmpp" / "queries.py").read()
-    funcs = re.split(r"\ndef (q_\w+)", src)
+    funcs = re.split(r"\ndef (\w+)", src)
     uses = {}
+    bodies = {}
     for i in range(1, len(funcs), 2):
+        bodies[funcs[i]] = funcs[i + 1]
         uses[funcs[i]] = set(
             re.findall(r'_t\(spark, sf_dir, "(\w+)"\)', funcs[i + 1])
         )
+    for name, body in bodies.items():
+        for callee in re.findall(r"\b(_\w+)\(", body):
+            uses[name] |= uses.get(callee, set())
     subset = [
         (n, fn) for n, (fn, _sql) in sorted(CATALOG.items())
         if n not in EXCLUDE
