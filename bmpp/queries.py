@@ -1204,6 +1204,8 @@ _ND_STREAM_SEQ = _itertools.count()  # stream_neardup staging (own
 # reaper's last-8 window without 8 roundtrip invocations happening)
 _EV_STREAM_SEQ = _itertools.count()  # stream_hourly staging (same
 # isolation; deleted in-call, the counter just guarantees uniqueness)
+_DC_STREAM_SEQ = _itertools.count()  # stream_dedup_counts staging
+_XD_STREAM_SEQ = _itertools.count()  # stream_exact_dedup staging
 
 
 def _roundtrip_dir() -> str:
@@ -1463,6 +1465,92 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
        count(*) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
+"""
+
+
+def _stream_docs_prefix_corpus(spark, sf_dir, prefix, seq):
+    """Stage documents as corpus rows whose content is the 64-char text
+    PREFIX — a deterministic projection of the data that carries real
+    duplicate structure (~5% of prefixes repeat at every sf, where the
+    full texts are all distinct), so the streaming dedup catalog
+    queries exercise actual duplicates instead of a trivially
+    all-distinct corpus. Returns (staged DataFrame, stage path);
+    caller owns deletion. Same per-invocation isolation + distributed
+    write as the other stream stagings."""
+    from pathlib import Path
+
+    d = _t(spark, sf_dir, "documents")
+    corp = d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.substring("text", 1, 64).alias("content"),
+    )
+    stage = Path(_roundtrip_dir()) / f"{prefix}_{Path(sf_dir).name}_{seq}"
+    corp.write.mode("overwrite").parquet(str(stage))
+    return corp, stage
+
+
+def q_stream_dedup_counts(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState —
+    streaming.stream_group_dedup_counts, the incremental MarkDuplicates
+    `.metrics` feed, wdl:385,446) as a catalog query WITH a full DuckDB
+    oracle: all rows arrive in ONE micro-batch, so the per-repo running
+    counters the state machine emits — rows seen, distinct new hashes,
+    duplicates, live state size — equal the batch GROUP BY over the
+    same 64-char-prefix content (distinct sha256 ≡ distinct content).
+    The memory sink is fully materialized before the staged files are
+    deleted."""
+    import shutil
+
+    from .streaming import stream_group_dedup_counts
+
+    corp, stage = _stream_docs_prefix_corpus(
+        spark, sf_dir, "dc", next(_DC_STREAM_SEQ)
+    )
+    try:
+        return stream_group_dedup_counts(spark, str(stage), corp.schema)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+SQL_STREAM_DEDUP_COUNTS = """
+SELECT source AS repo,
+       count(*) AS rows_total,
+       count(DISTINCT substring(text, 1, 64)) AS distinct_total,
+       count(*) - count(DISTINCT substring(text, 1, 64)) AS dups_total,
+       count(DISTINCT substring(text, 1, 64)) AS state_size
+FROM documents GROUP BY source
+"""
+
+
+def q_stream_exact_dedup(spark, sf_dir):
+    """Streaming exact dedup (streaming.stream_exact_dedup —
+    dropDuplicates on the content hash, incremental MarkDuplicates
+    keep-first) as a catalog query WITH a full DuckDB oracle: WHICH
+    row survives per hash is arrival-order-dependent, but the SET of
+    surviving hashes is a pure function of the corpus — so the query
+    projects exactly that deterministic contract (one content_sha256
+    row per distinct 64-char prefix; DuckDB re-derives the hex digests
+    with its own sha256)."""
+    import shutil
+
+    from .streaming import stream_exact_dedup
+
+    corp, stage = _stream_docs_prefix_corpus(
+        spark, sf_dir, "xd", next(_XD_STREAM_SEQ)
+    )
+    try:
+        out = stream_exact_dedup(spark, str(stage), corp.schema)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return out.select("content_sha256")
+
+
+SQL_STREAM_EXACT_DEDUP = """
+SELECT DISTINCT sha256(substring(text, 1, 64)) AS content_sha256
+FROM documents
 """
 
 
@@ -1888,6 +1976,8 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     # streaming simhash: oracle re-derives chunk-LSH rep-verify over
     # the frozen fingerprint fixture (see q_stream_simhash_neardup)
     "stream_simhash_neardup": (q_stream_simhash_neardup, SQL_STREAM_SIMHASH),
+    "stream_dedup_counts": (q_stream_dedup_counts, SQL_STREAM_DEDUP_COUNTS),
+    "stream_exact_dedup": (q_stream_exact_dedup, SQL_STREAM_EXACT_DEDUP),
     # model-backed: oracle via the frozen-model fixture (see q_langid)
     "langid_score": (q_langid, SQL_LANGID),
     # model-backed: oracle re-derives LSH logic over the band fixture
