@@ -106,6 +106,9 @@ def main() -> None:
         "pipeline_rows": PIPELINE_ROWS,
         "pipeline_rows_per_sec": round(PIPELINE_ROWS / pipeline_sec, 1),
         "cores": cores,
+        # catalog size, so round-over-round totals stay interpretable:
+        # a grown catalog raises the total without any query regressing
+        "n_catalog_queries": len(CATALOG),
     }
     # Reference the BENCH/ evidence files by PATH only: round 3 proved
     # that inlining their JSON blobs grows this line past the driver's

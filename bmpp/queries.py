@@ -1468,15 +1468,11 @@ FROM events GROUP BY 1, 2
 """
 
 
-def _stream_docs_prefix_corpus(spark, sf_dir, prefix, seq):
-    """Stage documents as corpus rows whose content is the 64-char text
-    PREFIX — a deterministic projection of the data that carries real
-    duplicate structure (~5% of prefixes repeat at every sf, where the
-    full texts are all distinct), so the streaming dedup catalog
-    queries exercise actual duplicates instead of a trivially
-    all-distinct corpus. Returns (staged DataFrame, stage path);
-    caller owns deletion. Same per-invocation isolation + distributed
-    write as the other stream stagings."""
+def _stage_docs_corpus(spark, sf_dir, prefix, seq, content):
+    """Stage documents as corpus rows with the given ``content`` Column
+    expression. Returns (staged DataFrame, stage path); caller owns
+    deletion. Same per-invocation isolation + distributed write as the
+    other stream stagings."""
     from pathlib import Path
 
     d = _t(spark, sf_dir, "documents")
@@ -1485,11 +1481,23 @@ def _stream_docs_prefix_corpus(spark, sf_dir, prefix, seq):
         F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
         F.lit("c0").alias("commit"),
         F.col("lang"),
-        F.substring("text", 1, 64).alias("content"),
+        content.alias("content"),
     )
     stage = Path(_roundtrip_dir()) / f"{prefix}_{Path(sf_dir).name}_{seq}"
     corp.write.mode("overwrite").parquet(str(stage))
     return corp, stage
+
+
+def _stream_docs_prefix_corpus(spark, sf_dir, prefix, seq):
+    """Corpus rows whose content is the 64-char text PREFIX — a
+    deterministic projection of the data that carries real duplicate
+    structure (~5% of prefixes repeat at every sf, where the full
+    texts are all distinct), so the streaming dedup catalog queries
+    exercise actual duplicates instead of a trivially all-distinct
+    corpus."""
+    return _stage_docs_corpus(
+        spark, sf_dir, prefix, seq, F.substring("text", 1, 64)
+    )
 
 
 def q_stream_dedup_counts(spark, sf_dir):
@@ -1691,6 +1699,186 @@ SQL_LANGID = f"""
 SELECT d.doc_id, d.lang, f.lang_detected, f.langid_conf, f.perplexity
 FROM documents d JOIN read_parquet('{_LANGID_FIXTURE}') f USING (doc_id)
 """
+
+
+_QF_STREAM_SEQ = _itertools.count()  # stream_quality_filter staging
+
+# ONE config drives both the stream and the generated oracle SQL, so
+# the two sides cannot drift. max_perplexity is re-pinned near the
+# documents-table median (the default 5.0 is calibrated for CODE; the
+# prose-like documents text sits at ppl ~6.3-7.7 under the code-trained
+# LM and would degenerate to keep≈0, exercising only one branch) —
+# ~7.1 makes the stream's keep/drop outcome genuinely discriminative.
+_QF_CFG = rules.PipelineConfig(do_near_dedup=False, max_perplexity=7.1)
+
+
+def q_stream_quality_filter(spark, sf_dir):
+    """Stateless exactly-once stream (streaming.stream_quality_filter:
+    readStream → the batch enrich operators → sink; the per-row half of
+    the pipeline with near-dup off) as a catalog query WITH a full
+    DuckDB oracle: every output column is a pure per-row function of
+    the content, so the oracle re-derives the heuristic reason codes,
+    the toxicity count, the ordered scrub-pack rewrite and the
+    model-based reasons (langid/perplexity from the frozen fixture —
+    the same fixture SQL_LANGID joins) entirely in SQL. The oracle SQL
+    is GENERATED from rules.SCRUB_PACK / the rules thresholds /
+    rules.TOXICITY_LEXICON, so it cannot drift from the engine."""
+    import shutil
+
+    from .streaming import stream_quality_filter
+
+    corp, stage = _stage_docs_corpus(
+        spark, sf_dir, "qf", next(_QF_STREAM_SEQ), F.col("text")
+    )
+    try:
+        out = stream_quality_filter(spark, str(stage), corp.schema, cfg=_QF_CFG)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return out.select(
+        F.expr("CAST(substring(path, 5) AS BIGINT)").alias("doc_id"),
+        "keep",
+        F.array_join("drop_reasons", ",").alias("reasons"),
+        "toxic_hits",
+        "scrub_count",
+        "lang_detected",
+        F.md5("content_scrubbed").alias("scrubbed_md5"),
+    )
+
+
+def _re2_rewrite(repl: str) -> str:
+    """Python ``re.sub`` replacement template → RE2 rewrite string.
+
+    The semantics to preserve are Python's, because the ENGINE runs
+    rules.scrub (Python re) inside the Arrow UDF: ``\\1``-``\\9`` are
+    group refs in both dialects, but Python leaves an unknown escape
+    like ``\\"`` in the output as a LITERAL backslash + char (the
+    SECRET pattern's replacement really does emit ``\\"<SECRET>\\"``
+    with backslashes), where RE2 would swallow or reject it — so any
+    backslash not followed by a digit becomes an escaped literal
+    backslash."""
+    out, i = [], 0
+    while i < len(repl):
+        ch = repl[i]
+        if ch == "\\" and i + 1 < len(repl):
+            nxt = repl[i + 1]
+            if nxt.isdigit():
+                out.append("\\" + nxt)  # group ref, same in both
+            elif nxt == "\\":
+                out.append("\\\\")  # Python \\ → one literal backslash
+            else:
+                # unknown escape: Python emits backslash AND char
+                out.append("\\\\" + nxt)
+            i += 2
+        else:
+            out.append("\\\\" if ch == "\\" else ch)
+            i += 1
+    return "".join(out)
+
+
+# toxicity lexicon as an RE2 pattern — shared by the generated oracle
+# and the cross-engine equivalence test (test_stream_quality_sql.py)
+_TOX_SQL_PATTERN = "(?i)\\b(" + "|".join(rules.TOXICITY_LEXICON) + ")\\b"
+
+
+def _scrub_chain_steps() -> list[str]:
+    """CTE list mirroring rules.scrub's sequential subn fold over
+    SCRUB_PACK: step i counts pattern i's matches on the PREVIOUS
+    step's text, then rewrites; ``scrub`` carries the final text and
+    the summed count. Input CTE expects documents(doc_id, text)."""
+    steps = ["sc0 AS (SELECT doc_id, text AS t0 FROM documents)"]
+    for i, (pat, repl) in enumerate(rules.SCRUB_PACK, start=1):
+        p = pat.replace("'", "''")
+        r = _re2_rewrite(repl).replace("'", "''")
+        carry = "".join(f"c{j}, " for j in range(1, i))
+        steps.append(
+            f"sc{i} AS (SELECT doc_id, "
+            f"regexp_replace(t{i-1}, '{p}', '{r}', 'g') AS t{i}, {carry}"
+            f"len(regexp_extract_all(t{i-1}, '{p}')) AS c{i} FROM sc{i-1})"
+        )
+    n = len(rules.SCRUB_PACK)
+    total = " + ".join(f"c{j}" for j in range(1, n + 1))
+    steps.append(
+        f"scrub AS (SELECT doc_id, t{n} AS scrubbed, "
+        f"CAST({total} AS INT) AS scrub_count FROM sc{n})"
+    )
+    return steps
+
+
+def _build_stream_quality_sql() -> str:
+    """DuckDB oracle for q_stream_quality_filter, generated from the
+    shared rules module (single source of truth — the SQL mirrors
+    rules.heuristics / operators.filter.heuristic_reasons /
+    operators.score.score_reasons / rules.scrub by construction).
+
+    Dialect notes: the engine's scrub + toxicity run in Python ``re``
+    inside the Arrow UDF; the patterns in rules.SCRUB_PACK use only
+    RE2-portable constructs (no backrefs in patterns, scoped ``(?i:``
+    flags, ASCII classes), so DuckDB's RE2 produces identical matches
+    (replacement templates go through _re2_rewrite — cross-engine
+    equivalence on scrub-positive rows is pinned by
+    tests/test_stream_quality_sql.py, since the sf0.01 comparison
+    table itself contains no scrubbable spans). The sequential subn
+    chain is mirrored as nested regexp_replace CTEs with per-step
+    match counts taken on the PREVIOUS step's text, exactly like
+    rules.scrub's fold."""
+    steps = _scrub_chain_steps()
+    tox = _TOX_SQL_PATTERN
+    langs = ", ".join(f"'{lg}'" for lg in rules.LANGS)
+    return f"""
+WITH {", ".join(steps)},
+feats AS (
+  SELECT d.doc_id, d.text, d.lang,
+         f.lang_detected, f.langid_conf, f.perplexity,
+         length(d.text) AS n_chars,
+         length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         string_split(d.text, chr(10)) AS lines,
+         CAST(len(regexp_extract_all(d.text, '{tox}')) AS INT) AS toxic_hits
+  FROM documents d JOIN read_parquet('{_LANGID_FIXTURE}') f USING (doc_id)
+),
+h AS (
+  SELECT *,
+    CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+    len(lines) AS n_lines,
+    list_max(list_transform(lines, x -> length(x))) AS max_line_len,
+    CAST(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE)
+      / len(lines) AS mean_line_len,
+    CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+      AS distinct_line_ratio
+  FROM feats
+),
+r AS (
+  SELECT doc_id, toxic_hits, lang_detected,
+    list_sort(list_filter([
+      CASE WHEN regexp_matches(text, '^[ \\t\\n\\x0b\\f\\r]*$')
+           THEN '{rules.R_EMPTY}' END,
+      CASE WHEN max_line_len > {_QF_CFG.max_line_len}
+           THEN '{rules.R_MAX_LINE}' END,
+      CASE WHEN mean_line_len > {_QF_CFG.max_mean_line_len}
+           THEN '{rules.R_MEAN_LINE}' END,
+      CASE WHEN alpha_ratio < {_QF_CFG.min_alpha_ratio}
+           THEN '{rules.R_ALPHA}' END,
+      CASE WHEN n_lines >= {_QF_CFG.repeat_min_lines}
+           AND distinct_line_ratio < {_QF_CFG.min_distinct_line_ratio}
+           THEN '{rules.R_REPEAT}' END,
+      CASE WHEN lang_detected != lang
+           AND langid_conf >= {_QF_CFG.min_langid_conf}
+           AND lang IN ({langs}) THEN '{rules.R_LANG}' END,
+      CASE WHEN perplexity > {_QF_CFG.max_perplexity}
+           THEN '{rules.R_PPL}' END,
+      CASE WHEN toxic_hits > {_QF_CFG.max_toxic_hits}
+           THEN '{rules.R_TOXIC}' END
+    ], x -> x IS NOT NULL)) AS rs
+  FROM h
+)
+SELECT r.doc_id, len(rs) = 0 AS keep,
+       coalesce(array_to_string(rs, ','), '') AS reasons,
+       toxic_hits, s.scrub_count, lang_detected,
+       md5(s.scrubbed) AS scrubbed_md5
+FROM r JOIN scrub s USING (doc_id)
+"""
+
+
+SQL_STREAM_QUALITY = _build_stream_quality_sql()
 
 
 def _simhash_fp(d):
@@ -1978,6 +2166,7 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "stream_simhash_neardup": (q_stream_simhash_neardup, SQL_STREAM_SIMHASH),
     "stream_dedup_counts": (q_stream_dedup_counts, SQL_STREAM_DEDUP_COUNTS),
     "stream_exact_dedup": (q_stream_exact_dedup, SQL_STREAM_EXACT_DEDUP),
+    "stream_quality_filter": (q_stream_quality_filter, SQL_STREAM_QUALITY),
     # model-backed: oracle via the frozen-model fixture (see q_langid)
     "langid_score": (q_langid, SQL_LANGID),
     # model-backed: oracle re-derives LSH logic over the band fixture
