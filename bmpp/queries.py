@@ -915,6 +915,135 @@ FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 """
 
 
+def q_stratified_split(spark, sf_dir):
+    """Deterministic stratified train/val/test split (90/5/5 per lang
+    stratum) — the training-data op every corpus build needs before
+    anything touches an eval set. Docs are ranked inside each stratum
+    by an engine-agnostic hash order (md5 of the doc_id string — both
+    engines emit identical lowercase hex, so the oracle reproduces the
+    exact assignment, and the split is a pure function of doc_id, never
+    of partition order or row position), and the boundaries are
+    integer-exact (rank*100 vs pct*count — no float thresholds).
+
+    Scale: one shuffle on the stratum key + in-partition sort, like any
+    windowed op. A 100 TB run with a mega-stratum drops to the
+    hash-bucket form (split by pmod(hash(id), 100) — shuffle-free,
+    fractions approximate) or two-phase ranking like
+    operators/neardup.cap_bucket_members; exact per-stratum fractions
+    at catalog scale are the point here."""
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    rn = F.row_number().over(w)
+    cnt = F.count(F.lit(1)).over(W.partitionBy("lang"))
+    split = (
+        F.when(rn * 100 <= cnt * 90, "train")
+        .when(rn * 100 <= cnt * 95, "val")
+        .otherwise("test")
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
+
+
+SQL_STRATIFIED_SPLIT = """
+SELECT doc_id, lang,
+       CASE WHEN rn * 100 <= cnt * 90 THEN 'train'
+            WHEN rn * 100 <= cnt * 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents)
+"""
+
+
+_PACK_BUDGET = 512  # whitespace tokens per packed training sequence
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for LLM pretraining: concatenate each lang
+    stream's docs (doc_id order) and chunk into fixed 512-token
+    training sequences; each doc reports the sequence it starts in and
+    its offset within it — the data-op analog of the reference's
+    chr_size bin-packing (splitStringToArray,
+    bamMergePreprocessing.wdl:102-160; bmpp/plan.py mirrors it at plan
+    time). All-integer arithmetic over cumulative whitespace token
+    counts, and the budget is a power of two, so the floor-divide is
+    exact in both engines.
+
+    Scale: per-stream cumulative sum = one shuffle on the stream key +
+    in-partition sort (the running_totals window discipline); a single
+    100 TB global stream uses the classic two-phase form instead
+    (per-partition token sums -> exclusive prefix offsets broadcast
+    back), which preserves these exact outputs."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", "\\s+", -1))
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum_before = (F.sum(ntok).over(w) - ntok).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        ntok.alias("n_tokens"),
+        F.floor(cum_before / F.lit(_PACK_BUDGET)).alias("seq_id"),
+        F.pmod(cum_before, F.lit(_PACK_BUDGET)).cast("long").alias("seq_offset"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS BIGINT) AS cum_before
+  FROM t)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(cum_before / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       cum_before % {_PACK_BUDGET} AS seq_offset
+FROM c
+"""
+
+
+_DOMAIN_CAP = 10  # deterministic per-source keep budget
+
+
+def q_domain_cap_sample(spark, sf_dir):
+    """Domain/source quota sampling: keep at most 10 docs per source,
+    chosen by deterministic hash order — run through the EXISTING
+    two-phase salted cap operator (operators/neardup.cap_bucket_members,
+    the reference's ``--downsampling_type`` analog,
+    bamMergePreprocessing.wdl:545), so the operator the pipeline uses
+    for hot LSH buckets gets its own independent SQL oracle: DuckDB
+    re-derives the identical keep set with a plain per-source window
+    over (sha256(doc_id), doc_id)."""
+    from .operators.neardup import cap_bucket_members
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = cap_bucket_members(
+        d, _DOMAIN_CAP, bucket_col="source", key_col="doc_id"
+    )
+    return kept.select("doc_id", "source")
+
+
+SQL_DOMAIN_CAP_SAMPLE = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+           ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= {_DOMAIN_CAP}
+"""
+
+
 def q_minhash_lsh_sql(spark, sf_dir):
     """MinHash+LSH near-dup flagging in a DIALECT-PORTABLE form with a
     full DuckDB value-hash oracle: the per-permutation hash is the
@@ -2148,6 +2277,9 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "domain_cap_sample": (q_domain_cap_sample, SQL_DOMAIN_CAP_SAMPLE),
     "minhash_lsh_sql": (q_minhash_lsh_sql, SQL_MINHASH_LSH),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_ANN_TOPK),
