@@ -1013,6 +1013,55 @@ FROM c
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: flag corpus docs containing any
+    held-out benchmark snippet — the check every pretraining corpus
+    runs before an eval is trusted. The eval set here is a
+    deterministic, BOUNDED sample of the corpus itself (10 fixed
+    doc_ids → one 40-char snippet each), so the op is self-contained
+    at every sf; each source doc trivially contains its own snippet,
+    which is exactly the case decontamination exists to catch.
+
+    Scale: the eval side is broadcast (benchmark suites are KB-MB —
+    always the small side) as ONE collected snippet array, so the
+    containment scan is an embarrassing map over the corpus: a 1-row
+    broadcast crossJoin + JVM array `filter`, ZERO shuffles (the
+    equivalent BNLJ-then-groupBy form pays a per-doc agg shuffle for
+    nothing). A huge snippet set would switch to the n-gram-hash form
+    instead (explode doc 8-gram hashes -> broadcast semi-join), still
+    shuffle-free on the corpus side. The oracle derives the same
+    answer via the independent join+group formulation."""
+    d = _t(spark, sf_dir, "documents")
+    ev_arr = (
+        d.filter((F.col("doc_id") < 500) & (F.col("doc_id") % 50 == 7))
+        .select(F.substring("text", 11, 40).alias("snippet"))
+        .filter(F.length("snippet") >= 20)
+        .agg(F.collect_list("snippet").alias("snips"))
+    )
+    hits = F.size(
+        F.filter(F.col("snips"), lambda s: F.col("text").contains(s))
+    )
+    return d.crossJoin(F.broadcast(ev_arr)).select(
+        "doc_id",
+        hits.cast("int").alias("n_eval_hits"),
+        (hits > 0).alias("contaminated"),
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH ev AS (
+  SELECT doc_id AS eval_id, substring(text, 11, 40) AS snippet
+  FROM documents
+  WHERE doc_id < 500 AND doc_id % 50 = 7
+    AND length(substring(text, 11, 40)) >= 20)
+SELECT d.doc_id,
+       CAST(count(e.eval_id) AS INT) AS n_eval_hits,
+       count(e.eval_id) > 0 AS contaminated
+FROM documents d LEFT JOIN ev e ON contains(d.text, e.snippet)
+GROUP BY d.doc_id
+"""
+
+
 _DOMAIN_CAP = 10  # deterministic per-source keep budget
 
 
@@ -2280,6 +2329,7 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "domain_cap_sample": (q_domain_cap_sample, SQL_DOMAIN_CAP_SAMPLE),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "minhash_lsh_sql": (q_minhash_lsh_sql, SQL_MINHASH_LSH),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_ANN_TOPK),
