@@ -1013,6 +1013,51 @@ FROM c
 """
 
 
+def q_intradoc_dedup(spark, sf_dir):
+    """Intra-document repetition removal (the Gopher/RefinedWeb-style
+    rewrite the R_REPEAT heuristic only FLAGS): drop every repeated
+    line after its first occurrence and re-join — boilerplate headers,
+    navigation blocks and templated spam collapse to one copy. Pure
+    per-row JVM array ops (split -> array_distinct -> array_join):
+    zero shuffles, zero Python, whole-stage codegen; array_distinct
+    keeps first-occurrence order, which the oracle pins independently
+    via an unnest+ordinality window (so an engine change to that
+    ordering contract would go red, not silently drift)."""
+    d = _t(spark, sf_dir, "documents")
+    lines = F.split("text", "\n", -1)
+    uniq = F.array_distinct(lines)
+    return d.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(uniq).alias("n_unique_lines"),
+        F.md5(F.array_join(uniq, "\n")).alias("rewritten_md5"),
+    )
+
+
+SQL_INTRADOC_DEDUP = """
+WITH u AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM documents),
+l AS (
+  SELECT doc_id, line, pos,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS k
+  FROM u),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_lines,
+         count(*) FILTER (WHERE k = 1) AS n_unique_lines,
+         string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE k = 1) AS rewritten
+  FROM l GROUP BY doc_id)
+SELECT doc_id,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(n_unique_lines AS INT) AS n_unique_lines,
+       md5(rewritten) AS rewritten_md5
+FROM agg
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Eval-set decontamination: flag corpus docs containing any
     held-out benchmark snippet — the check every pretraining corpus
@@ -2330,6 +2375,7 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "domain_cap_sample": (q_domain_cap_sample, SQL_DOMAIN_CAP_SAMPLE),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "intradoc_dedup": (q_intradoc_dedup, SQL_INTRADOC_DEDUP),
     "minhash_lsh_sql": (q_minhash_lsh_sql, SQL_MINHASH_LSH),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_ANN_TOPK),
