@@ -1013,6 +1013,47 @@ FROM c
 """
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Heavy-hitters vocabulary: top-5 alphabetic tokens per language
+    by frequency — the canonical wordcount+top-k every corpus-stats
+    job runs. Count agg is partial+final (map-side combine absorbs hot
+    tokens like articles before any shuffle, so token skew cannot
+    matter); ranking ties break on the token for determinism. At 100 TB
+    the per-lang window ranks |vocab| rows, not |corpus| — millions,
+    not trillions — and a pathological stratum would take the same
+    two-phase cap as operators/neardup.cap_bucket_members."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(F.lower("text"), "[^a-z]+", -1)).alias("tok"),
+    ).filter(F.length("tok") >= 2)
+    counts = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), "tok")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "tok", "n", "rank")
+    )
+
+
+SQL_VOCAB_TOPK = """
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+  FROM documents),
+counts AS (
+  SELECT lang, tok, count(*) AS n FROM toks
+  WHERE length(tok) >= 2 GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, tok, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rank
+  FROM counts)
+SELECT lang, tok, CAST(n AS BIGINT) AS n, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_intradoc_dedup(spark, sf_dir):
     """Intra-document repetition removal (the Gopher/RefinedWeb-style
     rewrite the R_REPEAT heuristic only FLAGS): drop every repeated
@@ -2376,6 +2417,7 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "domain_cap_sample": (q_domain_cap_sample, SQL_DOMAIN_CAP_SAMPLE),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "intradoc_dedup": (q_intradoc_dedup, SQL_INTRADOC_DEDUP),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "minhash_lsh_sql": (q_minhash_lsh_sql, SQL_MINHASH_LSH),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_ANN_TOPK),
