@@ -1013,6 +1013,89 @@ FROM c
 """
 
 
+_WINNOW_K, _WINNOW_W, _WINNOW_PREFIX = 8, 16, 512
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprinting by winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003 — the MOSS scheme, implemented from
+    the paper): hash every k-gram of the normalized text, slide a
+    w-window over the hash sequence, select each window's minimum; the
+    distinct selected hashes are the document's fingerprint set, which
+    any shared substring of length >= w+k-1 is guaranteed to hit. Gram
+    hashes are md5 hex strings so min = lexicographic min in BOTH
+    engines (the minhash_lsh_sql trick). Entirely JVM higher-order
+    Column functions — per-row bounded work over a 512-char normalized
+    prefix, no shuffle, no Python; a full-document variant would move
+    the rolling min into the fused Arrow kernel (udfs.py) as a
+    vectorized numpy pass."""
+    d = _winnow_fps(_t(spark, sf_dir, "documents"))
+    fps = F.array_sort("fps")
+    return d.select(
+        "doc_id",
+        F.col("ng").alias("n_grams"),
+        F.size(fps).alias("n_fingerprints"),
+        F.md5(F.array_join(fps, ",")).alias("fp_digest"),
+    )
+
+
+def _winnow_fps(d):
+    """(doc_id, ng, fps): distinct selected winnowing hashes per doc —
+    shared by the catalog digest and the guarantee property test
+    (tests/test_winnow.py checks set overlap on constructed docs)."""
+    K, Wn, PREF = _WINNOW_K, _WINNOW_W, _WINNOW_PREFIX
+    norm = F.substring(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""), 1, PREF
+    )
+    ng = F.greatest(F.length(norm) - F.lit(K - 1), F.lit(0))
+    d = d.select("doc_id", norm.alias("s"), ng.alias("ng"))
+    hs = F.when(
+        F.col("ng") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.col("ng")),
+            lambda i: F.md5(F.col("s").substr(i, F.lit(K))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select("doc_id", "ng", hs.alias("hs"))
+    nw = F.greatest(F.col("ng") - F.lit(Wn - 1), F.lit(1))
+    mins = F.when(
+        F.col("ng") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nw),
+            lambda j: F.array_min(F.slice(F.col("hs"), j, Wn)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", "ng", F.array_distinct(mins).alias("fps"))
+
+
+SQL_WINNOW_FINGERPRINT = f"""
+WITH n AS (
+  SELECT doc_id,
+         substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                   1, {_WINNOW_PREFIX}) AS s
+  FROM documents),
+g AS (
+  SELECT doc_id, greatest(length(s) - {_WINNOW_K - 1}, 0) AS ng,
+         list_transform(
+           generate_series(1, greatest(length(s) - {_WINNOW_K - 1}, 0)),
+           i -> md5(substring(s, i, {_WINNOW_K}))) AS hs
+  FROM n),
+m AS (
+  SELECT doc_id, ng,
+         list_transform(
+           generate_series(1, CASE WHEN ng >= 1
+                                   THEN greatest(ng - {_WINNOW_W - 1}, 1)
+                                   ELSE 0 END),
+           j -> list_min(list_slice(hs, j, j + {_WINNOW_W - 1}))) AS mins
+  FROM g)
+SELECT doc_id, CAST(ng AS INT) AS n_grams,
+       CAST(len(list_distinct(mins)) AS INT) AS n_fingerprints,
+       md5(coalesce(array_to_string(list_sort(list_distinct(mins)), ','), ''))
+         AS fp_digest
+FROM m
+"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Heavy-hitters vocabulary: top-5 alphabetic tokens per language
     by frequency — the canonical wordcount+top-k every corpus-stats
@@ -2418,6 +2501,7 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "intradoc_dedup": (q_intradoc_dedup, SQL_INTRADOC_DEDUP),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
     "minhash_lsh_sql": (q_minhash_lsh_sql, SQL_MINHASH_LSH),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_ANN_TOPK),
