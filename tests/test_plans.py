@@ -233,3 +233,54 @@ def test_simhash_fingerprint_shared_between_catalog_entries(spark):
         b = r["simhash_bits"]
         assert len(b) == 64
         assert fps[r["doc_id"]] == (int(b[:32], 2), int(b[32:], 2))
+
+
+def test_per_row_text_ops_are_shuffle_free(spark):
+    """intradoc_dedup and winnow_fingerprint are pure per-row JVM
+    passes — any Exchange in their plans means a refactor added a
+    shuffle to an embarrassingly parallel op."""
+    from bmpp.queries import q_intradoc_dedup, q_winnow_fingerprint
+
+    for q in (q_intradoc_dedup, q_winnow_fingerprint):
+        plan = _plan(q(spark, SF))
+        assert "Exchange" not in plan, f"{q.__name__} gained a shuffle"
+        assert "ArrowEvalPython" not in plan  # JVM-only by design
+
+
+def test_decontaminate_is_broadcast_and_shuffle_free(spark):
+    """The snippet side must be the broadcast side of a nested-loop
+    containment join, and the corpus side must never be shuffled (the
+    1-row snippet agg's SinglePartition exchange is the only legal
+    Exchange)."""
+    from bmpp.queries import q_decontaminate
+
+    plan = _plan(q_decontaminate(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    # formatted mode splits node names from Arguments: any Exchange's
+    # partitioning shows up as a hashpartitioning(...) argument
+    assert "hashpartitioning" not in plan
+
+
+def test_stratified_split_single_exchange_and_pruned(spark):
+    """Both windows share one hashpartitioning(lang) exchange, and the
+    scan must not read text (the split is a function of doc_id/lang)."""
+    from bmpp.queries import q_stratified_split
+
+    plan = _plan(q_stratified_split(spark, SF))
+    tree = plan.split("\n\n")[0]
+    n_exchanges = sum("Exchange" in ln for ln in tree.splitlines())
+    assert n_exchanges == 1, tree
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" not in read
+
+
+def test_domain_cap_sample_is_two_phase_salted(spark):
+    """The cap must keep the two-phase shape: a salted phase-1 window
+    ((source, _ds_salt) partitioning) before the per-source phase-2
+    window — one global window per source would single-reduce a hot
+    source."""
+    from bmpp.queries import q_domain_cap_sample
+
+    plan = _plan(q_domain_cap_sample(spark, SF))
+    assert "_ds_salt" in plan
+    assert plan.count("Window") >= 2
