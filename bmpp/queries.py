@@ -1013,7 +1013,50 @@ FROM c
 """
 
 
-_WINNOW_K, _WINNOW_W, _WINNOW_PREFIX = 8, 16, 512
+_WINNOW_K, _WINNOW_W = 8, 16
+_WINNOW_PREFIX, _WINNOW_RAW_PREFIX = 512, 4096
+
+
+def _winnow_sets(texts):
+    """Winnowing selection per text: (n_grams, sorted distinct selected
+    md5 hashes) over the 512-char normalized prefix of the first 4096
+    raw chars. Pure function shared by the Arrow kernel and the
+    property test. The sliding min is a monotonic deque — O(n) exact
+    string comparisons per doc (numpy can't reduce unicode dtypes, and
+    a 64-bit-prefix trick would make the selected VALUE diverge from
+    the oracle's full-string min on a prefix collision). The first
+    JVM higher-order-function attempt was quadratic — CollapseProject
+    inlines a single-referenced alias into lambda BODIES, so
+    slice(hs, j, w) re-derived every gram hash per window (measured
+    >400 s at sf0.1 vs ~1 s for this kernel)."""
+    import hashlib
+    import re as _re
+    from collections import deque
+
+    K, Wn = _WINNOW_K, _WINNOW_W
+    rx = _re.compile(r"[^a-z0-9]")
+    for t in texts:
+        s = rx.sub("", (t or "").lower())[: _WINNOW_PREFIX]
+        ng = max(len(s) - K + 1, 0)
+        if ng == 0:
+            yield 0, []
+            continue
+        hs = [
+            hashlib.md5(s[i : i + K].encode()).hexdigest() for i in range(ng)
+        ]
+        if ng <= Wn:
+            mins = {min(hs)}
+        else:
+            mins, dq = set(), deque()
+            for i, h in enumerate(hs):
+                while dq and hs[dq[-1]] >= h:
+                    dq.pop()
+                dq.append(i)
+                if dq[0] <= i - Wn:
+                    dq.popleft()
+                if i >= Wn - 1:
+                    mins.add(hs[dq[0]])
+        yield ng, sorted(mins)
 
 
 def q_winnow_fingerprint(spark, sf_dir):
@@ -1022,56 +1065,47 @@ def q_winnow_fingerprint(spark, sf_dir):
     the paper): hash every k-gram of the normalized text, slide a
     w-window over the hash sequence, select each window's minimum; the
     distinct selected hashes are the document's fingerprint set, which
-    any shared substring of length >= w+k-1 is guaranteed to hit. Gram
-    hashes are md5 hex strings so min = lexicographic min in BOTH
-    engines (the minhash_lsh_sql trick). Entirely JVM higher-order
-    Column functions — per-row bounded work over a 512-char normalized
-    prefix, no shuffle, no Python; a full-document variant would move
-    the rolling min into the fused Arrow kernel (udfs.py) as a
-    vectorized numpy pass."""
-    d = _winnow_fps(_t(spark, sf_dir, "documents"))
-    fps = F.array_sort("fps")
+    any shared substring of normalized length >= w+k-1 is guaranteed to
+    hit. Gram hashes are md5 hex strings so min = lexicographic min in
+    both engines. One Arrow kernel (hashlib grams + monotonic-deque
+    sliding min — see _winnow_sets for why NOT JVM higher-order
+    functions), fed a JVM-truncated 4096-char raw prefix so neither
+    Arrow transfer nor Python regex ever sees full documents; per-row
+    bounded work, zero shuffles."""
+    def _kern(texts):
+        import hashlib
+
+        import pandas as pd
+
+        rows = []
+        for ng, fps in _winnow_sets(texts):
+            rows.append(
+                (ng, len(fps),
+                 hashlib.md5(",".join(fps).encode()).hexdigest())
+            )
+        return pd.DataFrame(rows, columns=["ng", "nf", "dg"])
+
+    # positional wrap (no type hints): annotations would be evaluated
+    # in this module's globals, which deliberately don't import pandas
+    kern = F.pandas_udf(_kern, "ng int, nf int, dg string")
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, _WINNOW_RAW_PREFIX).alias("t")
+    )
+    d = d.select("doc_id", kern("t").alias("w"))
     return d.select(
         "doc_id",
-        F.col("ng").alias("n_grams"),
-        F.size(fps).alias("n_fingerprints"),
-        F.md5(F.array_join(fps, ",")).alias("fp_digest"),
+        F.col("w.ng").alias("n_grams"),
+        F.col("w.nf").alias("n_fingerprints"),
+        F.col("w.dg").alias("fp_digest"),
     )
-
-
-def _winnow_fps(d):
-    """(doc_id, ng, fps): distinct selected winnowing hashes per doc —
-    shared by the catalog digest and the guarantee property test
-    (tests/test_winnow.py checks set overlap on constructed docs)."""
-    K, Wn, PREF = _WINNOW_K, _WINNOW_W, _WINNOW_PREFIX
-    norm = F.substring(
-        F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""), 1, PREF
-    )
-    ng = F.greatest(F.length(norm) - F.lit(K - 1), F.lit(0))
-    d = d.select("doc_id", norm.alias("s"), ng.alias("ng"))
-    hs = F.when(
-        F.col("ng") >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.col("ng")),
-            lambda i: F.md5(F.col("s").substr(i, F.lit(K))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    d = d.select("doc_id", "ng", hs.alias("hs"))
-    nw = F.greatest(F.col("ng") - F.lit(Wn - 1), F.lit(1))
-    mins = F.when(
-        F.col("ng") >= 1,
-        F.transform(
-            F.sequence(F.lit(1), nw),
-            lambda j: F.array_min(F.slice(F.col("hs"), j, Wn)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return d.select("doc_id", "ng", F.array_distinct(mins).alias("fps"))
 
 
 SQL_WINNOW_FINGERPRINT = f"""
 WITH n AS (
   SELECT doc_id,
-         substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+         substring(regexp_replace(lower(substring(text, 1, {_WINNOW_RAW_PREFIX})),
+                                  '[^a-z0-9]', '', 'g'),
                    1, {_WINNOW_PREFIX}) AS s
   FROM documents),
 g AS (

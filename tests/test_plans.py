@@ -236,15 +236,23 @@ def test_simhash_fingerprint_shared_between_catalog_entries(spark):
 
 
 def test_per_row_text_ops_are_shuffle_free(spark):
-    """intradoc_dedup and winnow_fingerprint are pure per-row JVM
-    passes — any Exchange in their plans means a refactor added a
+    """intradoc_dedup is a pure per-row JVM pass; winnow_fingerprint is
+    ONE Arrow kernel pass over a JVM-truncated prefix (NOT JVM
+    higher-order functions — see _winnow_sets for the measured
+    CollapseProject quadratic). Any Exchange means a refactor added a
     shuffle to an embarrassingly parallel op."""
     from bmpp.queries import q_intradoc_dedup, q_winnow_fingerprint
 
-    for q in (q_intradoc_dedup, q_winnow_fingerprint):
-        plan = _plan(q(spark, SF))
-        assert "Exchange" not in plan, f"{q.__name__} gained a shuffle"
-        assert "ArrowEvalPython" not in plan  # JVM-only by design
+    plan = _plan(q_intradoc_dedup(spark, SF))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan  # JVM-only by design
+
+    plan = _plan(q_winnow_fingerprint(spark, SF))
+    assert "Exchange" not in plan
+    tree = plan.split("\n\n")[0]
+    assert sum("ArrowEvalPython" in ln for ln in tree.splitlines()) == 1
+    # the kernel must be fed the truncated prefix, not full documents
+    assert "substring" in plan
 
 
 def test_decontaminate_is_broadcast_and_shuffle_free(spark):

@@ -1,53 +1,58 @@
 """Semantic guarantee of the winnowing fingerprint (bmpp.queries
-.q_winnow_fingerprint): any substring of normalized length >= w+k-1
-shared by two documents contributes at least one common selected
-hash (Schleimer/Wilkerson/Aiken SIGMOD 2003, theorem 1) — checked by
-construction on documents that share / don't share long runs."""
+.q_winnow_fingerprint): any shared run of normalized length >= w+k-1
+contributes at least one common selected hash (Schleimer/Wilkerson/
+Aiken SIGMOD 2003, theorem 1) — checked by construction on documents
+that share / don't share long runs, against the same _winnow_sets
+internals the Arrow kernel uses."""
 
 from __future__ import annotations
 
+import hashlib
+
 import pytest
 
-from bmpp.queries import q_winnow_fingerprint
+from bmpp.queries import _winnow_sets, q_winnow_fingerprint
+
+SHARED = "The winnowing guarantee holds for any shared run of text."
+TEXTS = [
+    f"prefix alpha {SHARED} suffix one",
+    f"totally different lead-in... {SHARED} and another tail",
+    "no overlap here at all: zqxj vwpf ghrt" * 4,
+    "",
+]
 
 
 @pytest.fixture(scope="module")
-def fps(spark, tmp_path_factory):
-    shared = "The winnowing guarantee holds for any shared run of text."
-    docs = [
-        (0, f"prefix alpha {shared} suffix one"),
-        (1, f"totally different lead-in... {shared} and another tail"),
-        (2, "no overlap here at all: zqxj vwpf ghrt" * 4),
-        (3, ""),
-    ]
+def sets():
+    return [(ng, set(fps)) for ng, fps in _winnow_sets(TEXTS)]
+
+
+def test_shared_run_shares_a_fingerprint(sets):
+    # docs 0 and 1 share a normalized run far longer than w+k-1
+    assert sets[0][1] & sets[1][1], "guaranteed common fingerprint missing"
+    # doc 2 shares nothing that long with either
+    assert not (sets[0][1] & sets[2][1])
+
+
+def test_empty_and_counts(sets):
+    assert sets[3] == (0, set())
+    for ng, fps in sets[:3]:
+        # selection can only shrink the gram set
+        assert 0 < len(fps) <= ng
+
+
+def test_catalog_query_matches_kernel_internals(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("winnow")
+    docs = list(enumerate(TEXTS))
     spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
         f"{d}/documents.parquet"
     )
-    # capture the selected-hash SETS (not just the digest) via the
-    # shared internals the catalog digest is built from
-    from bmpp.queries import _t, _winnow_fps
-
-    out = {r["doc_id"]: r for r in q_winnow_fingerprint(spark, str(d)).collect()}
-    rows = _winnow_fps(_t(spark, str(d), "documents")).collect()
-    full = {r["doc_id"]: set(r["fps"]) for r in rows}
-    return out, full
-
-
-def test_shared_run_shares_a_fingerprint(fps):
-    out, full = fps
-    # docs 0 and 1 share a normalized run far longer than w+k-1
-    assert full[0] & full[1], "guaranteed common fingerprint missing"
-    # doc 2 shares nothing that long with either
-    assert not (full[0] & full[2])
-    # digest agrees with the set (same selection logic both paths)
-    assert out[0]["n_fingerprints"] == len(full[0])
-
-
-def test_empty_and_counts(fps):
-    out, full = fps
-    assert out[3]["n_grams"] == 0 and out[3]["n_fingerprints"] == 0
-    assert full[3] == set()
-    for i in (0, 1, 2):
-        # selection can only shrink the gram set
-        assert 0 < out[i]["n_fingerprints"] <= out[i]["n_grams"]
+    out = {
+        r["doc_id"]: r
+        for r in q_winnow_fingerprint(spark, str(d)).collect()
+    }
+    for i, (ng, fps) in enumerate(_winnow_sets(TEXTS)):
+        assert out[i]["n_grams"] == ng
+        assert out[i]["n_fingerprints"] == len(fps)
+        exp = hashlib.md5(",".join(fps).encode()).hexdigest()
+        assert out[i]["fp_digest"] == exp
