@@ -935,7 +935,9 @@ def q_stratified_split(spark, sf_dir):
     w = W.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
-    rn = F.row_number().over(w)
+    # row_number is INT: widen before scaling or a stratum beyond
+    # ~21.4M rows overflows (ANSI error at best, wrong split at worst)
+    rn = F.row_number().over(w).cast("long")
     cnt = F.count(F.lit(1)).over(W.partitionBy("lang"))
     split = (
         F.when(rn * 100 <= cnt * 90, "train")
