@@ -1,0 +1,116 @@
+"""Self-enforcing boundaries added in round 7 (VERDICT r6 items 3 +
+ADVICE): the decontamination broadcast-array form refuses oversized
+eval suites in code (not prose), and the stream_dedup_counts catalog
+query's final-row reduction survives a genuinely multi-micro-batch
+run instead of riding on FileStreamSource's one-batch default.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF001}/documents.parquet")
+
+
+def test_decontaminate_small_suite_passes(spark):
+    from bmpp.queries import decontaminate
+
+    d = _docs(spark)
+    ev = d.filter(F.col("doc_id") == 7).select(
+        F.substring("text", 11, 40).alias("snippet")
+    )
+    out = decontaminate(d, ev).collect()
+    assert len(out) == d.count()
+    hit = {r["doc_id"]: r["contaminated"] for r in out}
+    assert hit[7] is True  # a doc trivially contains its own snippet
+
+
+def test_decontaminate_oversized_suite_raises(spark):
+    """Past the byte budget the broadcast-array form must fail loudly
+    (pointing at the n-gram-hash formulation), never silently build a
+    giant broadcast payload."""
+    from bmpp.queries import decontaminate
+
+    d = _docs(spark)
+    ev = d.select(F.substring("text", 1, 100).alias("snippet"))
+    with pytest.raises(ValueError, match="n-gram-hash"):
+        decontaminate(d, ev, max_snippet_bytes=64)
+
+
+def test_decontaminate_empty_suite_is_zero_not_error(spark):
+    """coalesce(sum, 0) guard: an empty eval set means nothing is
+    contaminated — not a NULL-comparison crash."""
+    from bmpp.queries import decontaminate
+
+    d = _docs(spark)
+    ev = d.filter(F.lit(False)).select(
+        F.substring("text", 1, 10).alias("snippet")
+    )
+    out = decontaminate(d, ev).collect()
+    assert all(r["n_eval_hits"] == 0 and not r["contaminated"] for r in out)
+
+
+def test_dedup_counts_final_row_survives_multi_batch(spark, tmp_path_factory):
+    """Force a genuinely multi-micro-batch run (maxFilesPerTrigger=1
+    over a multi-file stage) and prove the q_stream_dedup_counts
+    reduction — keep each repo's max-rows_total row — still equals the
+    batch GROUP BY. This is the defense ADVICE r6 asked for: the
+    oracle match no longer depends on every staged file arriving in
+    one batch."""
+    from pyspark.sql import Window as W
+
+    from bmpp.streaming import _group_dedup_stream, _run_to_memory
+
+    d = tmp_path_factory.mktemp("multi_batch_dc")
+    src = (
+        _docs(spark)
+        .limit(200)
+        .select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            F.lit("c0").alias("commit"),
+            F.col("lang"),
+            F.substring("text", 1, 64).alias("content"),
+        )
+    )
+    # ≥3 staged files → ≥3 micro-batches under maxFilesPerTrigger=1
+    src.repartition(3).write.mode("overwrite").parquet(str(d))
+    schema = spark.read.parquet(str(d)).schema
+    raw = _run_to_memory(
+        _group_dedup_stream(
+            spark, str(d), schema, None, None, max_files_per_trigger=1
+        ),
+        "update",
+    )
+    per_repo = raw.groupBy("repo").count().collect()
+    assert max(r["count"] for r in per_repo) > 1, (
+        "multi-batch run should emit intermediate rows in update mode"
+    )
+    w = W.partitionBy("repo").orderBy(F.col("rows_total").desc())
+    final = (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    got = {
+        r["repo"]: (r["rows_total"], r["distinct_total"], r["dups_total"])
+        for r in final.collect()
+    }
+    want = {
+        r["repo"]: (r["rows"], r["distinct"], r["rows"] - r["distinct"])
+        for r in (
+            spark.read.parquet(str(d))
+            .groupBy("repo")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.countDistinct(F.sha2("content", 256)).alias("distinct"),
+            )
+            .collect()
+        )
+    }
+    assert got == want

@@ -144,3 +144,20 @@ def test_re2_rewrite_template_conversion():
     assert _re2_rewrite('\\1\\2\\"<SECRET>\\"') == '\\1\\2\\\\"<SECRET>\\\\"'
     assert _re2_rewrite("a\\\\b") == "a\\\\b"  # \\ → one literal backslash
     assert _re2_rewrite("plain") == "plain"
+
+
+def test_re2_rewrite_trailing_backslash_raises():
+    """A template ending in a lone backslash is a shape Python re.sub
+    itself rejects ('bad escape at end'), so the oracle generator must
+    fail identically instead of minting a divergent rewrite."""
+    import re
+
+    import pytest
+
+    with pytest.raises(re.error):
+        re.sub("x", "trailing\\", "x")  # the engine-side behavior
+    for bad in ("trailing\\", "\\", "a\\\\\\"):  # odd trailing runs
+        with pytest.raises(ValueError, match="unpaired backslash"):
+            _re2_rewrite(bad)
+    # even trailing runs are escaped literals — still fine
+    assert _re2_rewrite("a\\\\") == "a\\\\"
