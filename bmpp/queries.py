@@ -2008,13 +2008,17 @@ FROM documents
 
 def q_multimodal_features(spark, sf_dir):
     """Binary media columns → feature extraction via mapInPandas
-    (decode stubbed per sandbox constraints; schema/batching real —
-    bmpp.multimodal). The assets are a pure function of (seed, i), so
-    the expected output is frozen as fixtures/multimodal_300.parquet
-    (scripts/gen_multimodal_fixture.py, same decode functions) — the
-    DuckDB oracle reads it back, and the value-hash check proves the
-    distributed plumbing (binary→Arrow batches, struct metadata,
-    errors-as-columns) reproduces the frozen function exactly."""
+    (bmpp.multimodal). BMP (24-bit pixel arrays) and PCM WAV
+    (8/16-bit samples) are decoded FOR REAL with struct/numpy byte
+    math — true pixel-mean intensity, sample rate and duration — while
+    PNG/JPEG stay the documented sandbox codec boundary (metadata
+    parse + errors-as-columns). The assets are a pure function of
+    (seed, i), so the expected output is frozen as
+    fixtures/multimodal_300.parquet (scripts/gen_multimodal_fixture.py,
+    same decode functions) — the DuckDB oracle reads it back, and the
+    value-hash check proves the distributed plumbing (binary→Arrow
+    batches, struct metadata, real decode, errors-as-columns)
+    reproduces the frozen function exactly."""
     from .multimodal import MEDIA_SCHEMA, extract_image_features, make_synthetic_assets
 
     df = spark.createDataFrame(make_synthetic_assets(300), schema=MEDIA_SCHEMA)
@@ -2028,8 +2032,8 @@ _MULTIMODAL_FIXTURE = str(
 )
 
 SQL_MULTIMODAL = f"""
-SELECT asset_id, codec, width, height, mean_intensity, feature_hash,
-       decode_error
+SELECT asset_id, codec, width, height, sample_rate, duration_sec,
+       mean_intensity, feature_hash, decode_error
 FROM read_parquet('{_MULTIMODAL_FIXTURE}')
 """
 

@@ -4,19 +4,23 @@ parquet fixture backing the `multimodal_features` DuckDB oracle.
 q_multimodal_features runs over make_synthetic_assets(300) — a pure
 function of (seed=42, i) — so its expected output is a deterministic
 function of frozen code: this script computes it in plain Python
-(same sniff_codec/decode_image functions the Spark mapInPandas op
-calls) and the oracle reads the fixture back. What the driver's
-value-hash check then proves is that the distributed plumbing —
-binary columns through Arrow batches, struct metadata, errors routed
-to a column instead of task failures — reproduces the frozen
+(same sniff_codec/decode_media functions the Spark mapInPandas op
+calls — including the REAL BMP and PCM-WAV decoders) and the oracle
+reads the fixture back. What the driver's value-hash check then
+proves is that the distributed plumbing — binary columns through
+Arrow batches, struct metadata, real pixel/sample decode, errors
+routed to a column instead of task failures — reproduces the frozen
 function's rows exactly.
 
-Usage: python scripts/gen_multimodal_fixture.py  (writes
-fixtures/multimodal_300.parquet)
+Regenerate after ANY change to bmpp/multimodal.py (decoders, the
+synthetic asset mix, the feature schema):
+    python scripts/gen_multimodal_fixture.py
+writes fixtures/multimodal_300.parquet.
 """
 
 from __future__ import annotations
 
+import struct
 import sys
 from pathlib import Path
 
@@ -26,7 +30,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from bmpp.multimodal import (  # noqa: E402
-    decode_image,
+    decode_media,
     make_synthetic_assets,
     sniff_codec,
 )
@@ -41,13 +45,15 @@ def main() -> None:
         blob = bytes(a["media"])
         codec = sniff_codec(blob)
         try:
-            d = decode_image(blob)
-            rows.append(
-                (a["asset_id"], codec, d["width"], d["height"],
-                 d["mean_intensity"], d["feature_hash"], None)
-            )
-        except NotImplementedError as e:
-            rows.append((a["asset_id"], codec, None, None, None, None, str(e)))
+            d = decode_media(blob)
+            err = None
+        except (NotImplementedError, ValueError, struct.error) as e:
+            d, err = {}, str(e)
+        rows.append(
+            (a["asset_id"], codec, d.get("width"), d.get("height"),
+             d.get("sample_rate"), d.get("duration_sec"),
+             d.get("mean_intensity"), d.get("feature_hash"), err)
+        )
     cols = list(zip(*rows))
     table = pa.table(
         {
@@ -55,9 +61,11 @@ def main() -> None:
             "codec": pa.array(cols[1], type=pa.string()),
             "width": pa.array(cols[2], type=pa.int32()),
             "height": pa.array(cols[3], type=pa.int32()),
-            "mean_intensity": pa.array(cols[4], type=pa.float64()),
-            "feature_hash": pa.array(cols[5], type=pa.int64()),
-            "decode_error": pa.array(cols[6], type=pa.string()),
+            "sample_rate": pa.array(cols[4], type=pa.int32()),
+            "duration_sec": pa.array(cols[5], type=pa.float64()),
+            "mean_intensity": pa.array(cols[6], type=pa.float64()),
+            "feature_hash": pa.array(cols[7], type=pa.int64()),
+            "decode_error": pa.array(cols[8], type=pa.string()),
         }
     )
     OUT.parent.mkdir(exist_ok=True)

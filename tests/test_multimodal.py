@@ -1,12 +1,25 @@
-"""Multimodal binary-column plumbing (decode stubbed, everything else
-real): schema, mapInPandas batching, error isolation, determinism."""
+"""Multimodal binary-column plumbing and the in-sandbox real decoders:
+BMP pixel arrays and PCM WAV samples decode for real (struct/numpy);
+PNG/JPEG stay the documented codec boundary with errors-as-columns.
+Staleness guard for fixtures/multimodal_300.parquet: the driver
+contract replica (test_driver_contract) value-hashes the live Spark
+output against the fixture-backed oracle, and
+test_fixture_matches_fresh_decode below re-derives the fixture from
+the current decode functions directly.
+"""
 
 from __future__ import annotations
+
+import math
+import struct
 
 import pytest
 
 from bmpp.multimodal import (
     MEDIA_SCHEMA,
+    decode_bmp,
+    decode_media,
+    decode_wav,
     extract_image_features,
     make_synthetic_assets,
     png_dimensions,
@@ -29,24 +42,98 @@ def test_codec_sniffing_and_ihdr():
             )
 
 
-def test_extract_features_decodes_pngs_and_isolates_errors(spark, assets_df):
+def test_decode_bmp_exact_pixels():
+    """Hand-built 2x1 24-bit BMP with known bytes: the decoder must
+    report the true pixel mean (stride padding excluded)."""
+    w, h = 2, 1
+    px = bytes([10, 20, 30, 40, 50, 60, 0, 0])  # 2 BGR px + 2 pad bytes
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                      2835, 2835, 0, 0)
+    )
+    d = decode_bmp(hdr + px)
+    assert (d["width"], d["height"]) == (2, 1)
+    assert d["mean_intensity"] == pytest.approx((10 + 20 + 30 + 40 + 50 + 60) / 6 / 255.0)
+
+
+def test_decode_bmp_rejects_corrupt_and_unsupported():
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 20)  # truncated header
+    # valid header claiming more pixels than present
+    hdr = (
+        b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 100, 100, 1, 24, 0, 0, 0, 0, 0, 0)
+    )
+    with pytest.raises(ValueError, match="truncated BMP pixel"):
+        decode_bmp(hdr)
+    # 8-bit palette BMP: unsupported depth → NotImplementedError
+    hdr8 = (
+        b"BM" + struct.pack("<IHHI", 58, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0)
+        + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError, match="bpp=8"):
+        decode_bmp(hdr8)
+
+
+def _wav_blob(rate: int, samples: list[int]) -> bytes:
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_wav_exact_samples():
+    d = decode_wav(_wav_blob(8000, [16384, -16384, 0, 32767]))
+    assert d["sample_rate"] == 8000
+    assert d["duration_sec"] == pytest.approx(4 / 8000)
+    assert d["mean_intensity"] == pytest.approx(
+        (16384 + 16384 + 0 + 32767) / 4 / 32768.0
+    )
+
+
+def test_decode_wav_rejects_corrupt_and_unsupported():
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks
+    # float-PCM (format 3) is a real format the sandbox doesn't decode
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError, match="format=3"):
+        decode_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+
+
+def test_extract_features_real_decode_and_error_isolation(spark, assets_df):
     out = extract_image_features(assets_df).collect()
     assert len(out) == 200
     by_id = {r["asset_id"]: r for r in out}
     assets = make_synthetic_assets(200)
+    saw = set()
     for a in assets:
         r = by_id[a["asset_id"]]
-        if a["meta"]["codec"] == "png":
-            # real IHDR parse inside the UDF
+        codec = a["meta"]["codec"]
+        real = codec == "bmp" and a["meta"]["width"] > 0
+        if real:  # real pixel decode inside the UDF
             assert (r["width"], r["height"]) == (
                 a["meta"]["width"], a["meta"]["height"]
             )
             assert r["decode_error"] is None
             assert 0.0 <= r["mean_intensity"] <= 1.0
-        else:
-            # wav → stub raises → surfaced as column, task survives
+            saw.add("bmp")
+        elif codec == "wav":  # real sample decode
+            assert r["decode_error"] is None
+            assert r["sample_rate"] in (8000, 16000)
+            assert r["duration_sec"] > 0
+            assert 0.0 <= r["mean_intensity"] <= 1.0
+            saw.add("wav")
+        else:  # png/jpeg boundary + corrupt bmp → column, task survives
             assert r["decode_error"] is not None
-            assert r["width"] is None
+            assert r["feature_hash"] is None
+            saw.add("err")
+    assert saw == {"bmp", "wav", "err"}, "asset mix lost a decode path"
 
 
 def test_frame_sample_plan(spark):
@@ -86,9 +173,9 @@ def test_frame_sample_plan_survives_corrupt_blob(spark):
 
 
 def test_extract_features_deterministic(spark, assets_df):
-    a = {r["asset_id"]: r["feature_hash"]
+    a = {r["asset_id"]: (r["feature_hash"], r["mean_intensity"])
          for r in extract_image_features(assets_df).collect()}
-    b = {r["asset_id"]: r["feature_hash"]
+    b = {r["asset_id"]: (r["feature_hash"], r["mean_intensity"])
          for r in extract_image_features(assets_df.repartition(7)).collect()}
     assert a == b
 
@@ -100,22 +187,15 @@ def test_feature_hash_survives_mixed_null_batches_exactly(spark):
     floats. The op must emit nullable Int64 so every hash round-trips
     bit-exactly even when the same Arrow batch contains decode
     failures (None rows)."""
-    from bmpp.multimodal import (
-        MEDIA_SCHEMA,
-        decode_image,
-        extract_image_features,
-        make_synthetic_assets,
-    )
-
-    assets = make_synthetic_assets(60)  # mix of png (decodes) and wav (errors)
+    assets = make_synthetic_assets(60)  # mix of decodes and errors
     df = spark.createDataFrame(assets, schema=MEDIA_SCHEMA)
     got = {r["asset_id"]: r["feature_hash"]
            for r in extract_image_features(df).collect()}
     saw_null = saw_big = False
     for a in assets:
         try:
-            want = decode_image(bytes(a["media"]))["feature_hash"]
-        except NotImplementedError:
+            want = decode_media(bytes(a["media"]))["feature_hash"]
+        except (NotImplementedError, ValueError, struct.error):
             want = None
         assert got[a["asset_id"]] == want, (
             f"asset {a['asset_id']}: {got[a['asset_id']]} != {want}"
@@ -123,3 +203,35 @@ def test_feature_hash_survives_mixed_null_batches_exactly(spark):
         saw_null |= want is None
         saw_big |= want is not None and abs(want) > 2**53
     assert saw_null and saw_big, "test corpus no longer covers the failure mode"
+
+
+def test_fixture_matches_fresh_decode():
+    """fixtures/multimodal_300.parquet staleness guard: re-derive every
+    row from the CURRENT decode functions and compare exactly —
+    regenerate with scripts/gen_multimodal_fixture.py after any change
+    to bmpp/multimodal.py."""
+    import pyarrow.parquet as pq
+
+    fix = pq.read_table("fixtures/multimodal_300.parquet").to_pylist()
+    assets = make_synthetic_assets(300)
+    assert len(fix) == len(assets)
+    for a, row in zip(assets, fix):
+        blob = bytes(a["media"])
+        try:
+            d = decode_media(blob)
+            err = None
+        except (NotImplementedError, ValueError, struct.error) as e:
+            d, err = {}, str(e)
+        assert row["asset_id"] == a["asset_id"]
+        assert row["codec"] == sniff_codec(blob)
+        assert row["decode_error"] == err, f"asset {a['asset_id']} stale"
+        for k in ("width", "height", "sample_rate", "feature_hash"):
+            assert row[k] == d.get(k), f"asset {a['asset_id']} {k} stale"
+        for k in ("duration_sec", "mean_intensity"):
+            want = d.get(k)
+            if want is None:
+                assert row[k] is None
+            else:
+                assert row[k] is not None and math.isclose(
+                    row[k], want, rel_tol=0, abs_tol=0
+                ), f"asset {a['asset_id']} {k} stale"
