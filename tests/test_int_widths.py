@@ -1,0 +1,131 @@
+"""Integer-width audit (VERDICT r6 item 5): commit 36b69fc fixed an
+int-overflow-at-scale in stratified_split (row_number is INT; rn*100
+overflows past ~21.4M rows per stratum). This file pins the rest of
+the catalog's rank/cumsum/count columns so the same hazard cannot
+creep back in:
+
+- every UNBOUNDED quantity (cumulative sums, running counts, session
+  ids, token-occurrence counts, epoch hours) must be LongType;
+- columns that stay IntegerType must be bounded BY CONSTRUCTION
+  (post-filter ranks <= k, per-document sizes — a >2^31 value would
+  require a single multi-GB document, outside the corpus envelope).
+
+Engine-wide envelope note: Spark's row_number()/rank() windows carry
+IntegerType internally, so ANY per-partition window beyond 2^31 rows
+is an engine limit, not a query bug — the mitigation is partition
+design (and the catalog's rank sites all either widen before
+arithmetic, stratified_split-style, or only compare `<= k`, where the
+filter runs before any value can wrap).
+
+Schema-only checks: plans are analyzed, never executed, so the whole
+file costs milliseconds per query.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import IntegerType, LongType
+
+from bmpp.queries import CATALOG
+
+SF = "/root/testdata/sf0.001"
+
+# (query, column) pairs whose values grow with the DATA (cumulative /
+# count / id semantics) — must be 64-bit
+MUST_BE_LONG = [
+    ("pack_sequences", "seq_id"),
+    ("pack_sequences", "seq_offset"),
+    ("sessionize", "session_id"),
+    ("running_totals", "orders_so_far"),
+    ("vocab_topk", "n"),
+    ("events_hourly", "hour_epoch"),
+    ("events_hourly", "n_events"),
+    ("events_hourly", "value_cents"),
+    ("events_hourly", "n_users"),
+    ("score_partial", "docs"),
+    ("score_partial", "sum_chars"),
+    ("score_gather", "docs"),
+    ("score_gather", "sum_chars"),
+    ("collect_by_group", "n_docs"),
+    ("collect_by_group", "n_langs"),
+    ("stream_dedup_counts", "rows_total"),
+    ("stream_dedup_counts", "distinct_total"),
+    ("stream_dedup_counts", "dups_total"),
+    ("stream_hourly", "n_events"),
+]
+
+# IntegerType columns that are BOUNDED by construction; the bound is
+# part of the public contract this test documents
+BOUNDED_INT = {
+    ("vocab_topk", "rank"): "post-filter rank <= 25",
+    ("top_orders_per_priority", "rnk"): "post-filter rank <= 5",
+    ("ann_topk", "rank"): "post-filter rank <= k",
+    ("ivf_ann_topk", "rank"): "post-filter rank <= k",
+    ("pack_sequences", "n_tokens"): "per-document token count",
+    ("token_count", "n_ws_tokens"): "per-document token count",
+    ("token_count", "n_bpeish_tokens"): "per-document token count",
+    ("udtf_chunks", "chunk_idx"): "per-document chunk index",
+    ("udtf_chunks", "n_tokens"): "per-chunk token count",
+    ("winnow_fingerprint", "n_grams"): "bounded 512-char prefix",
+    ("winnow_fingerprint", "n_fingerprints"): "bounded 512-char prefix",
+    ("intradoc_dedup", "n_lines"): "per-document line count",
+    ("intradoc_dedup", "n_unique_lines"): "per-document line count",
+}
+
+
+def _schema(spark, name):
+    # analysis only — no job runs; streaming queries execute on
+    # .schema? No: the catalog's stream queries drain eagerly inside
+    # the fn, so they DO run — still cheap at sf0.001.
+    return {f.name: f.dataType for f in CATALOG[name][0](spark, SF).schema.fields}
+
+
+@pytest.fixture(scope="module")
+def schemas(spark):
+    cache = {}
+
+    def get(name):
+        if name not in cache:
+            cache[name] = _schema(spark, name)
+        return cache[name]
+
+    return get
+
+
+@pytest.mark.parametrize("name,col", MUST_BE_LONG)
+def test_unbounded_columns_are_long(schemas, name, col):
+    dt = schemas(name)[col]
+    assert isinstance(dt, LongType), (
+        f"{name}.{col} is {dt.simpleString()} — unbounded quantity must "
+        "be bigint (see stratified_split overflow, commit 36b69fc)"
+    )
+
+
+@pytest.mark.parametrize("name,col", sorted(BOUNDED_INT))
+def test_bounded_int_columns_documented(schemas, name, col):
+    """If one of these widens to long that's fine — delete its entry.
+    What this guards is an int column existing WITHOUT a documented
+    bound: new int columns in these queries must either appear here
+    with their bound or be long."""
+    dt = schemas(name)[col]
+    assert isinstance(dt, (IntegerType, LongType)), (
+        f"{name}.{col} changed to {dt.simpleString()}"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["pack_sequences", "sessionize", "running_totals", "vocab_topk",
+     "events_hourly", "score_partial", "token_count", "udtf_chunks",
+     "winnow_fingerprint", "intradoc_dedup"],
+)
+def test_no_undocumented_int_columns(schemas, name):
+    """Every IntegerType column in the audited queries must carry a
+    documented bound in BOUNDED_INT — otherwise it's a fresh 2^31
+    hazard and must be widened or justified."""
+    for col, dt in schemas(name).items():
+        if isinstance(dt, IntegerType):
+            assert (name, col) in BOUNDED_INT, (
+                f"{name}.{col} is int with no documented bound — widen "
+                "to long or add it to BOUNDED_INT with its bound"
+            )
