@@ -55,6 +55,24 @@ def test_decontaminate_empty_suite_is_zero_not_error(spark):
     assert all(r["n_eval_hits"] == 0 and not r["contaminated"] for r in out)
 
 
+def test_decontaminate_ngram_self_containment(spark):
+    """Semantic check independent of the DuckDB oracle: every doc the
+    eval snippets were CUT FROM must be flagged (it contains its own
+    snippet verbatim, hence every one of the snippet's 5-grams), and
+    flagged docs must report at least one shared gram."""
+    from bmpp.queries import q_decontaminate_ngram
+
+    out = {r["doc_id"]: r for r in q_decontaminate_ngram(spark, SF001).collect()}
+    eval_ids = [i for i in out if i < 500 and i % 50 == 7]
+    assert eval_ids, "eval selection is empty at sf0.001"
+    for i in eval_ids:
+        assert out[i]["contaminated"], f"source doc {i} not flagged"
+        assert out[i]["n_shared_grams"] >= 1
+    assert any(not r["contaminated"] for r in out.values()), (
+        "every doc flagged — the gram contract lost its specificity"
+    )
+
+
 def test_dedup_counts_final_row_survives_multi_batch(spark, tmp_path_factory):
     """Force a genuinely multi-micro-batch run (maxFilesPerTrigger=1
     over a multi-file stage) and prove the q_stream_dedup_counts
