@@ -795,23 +795,32 @@ FROM events
 # training-data pipeline ops (dedup / similarity / text analysis)
 # =====================================================================
 
+# whitespace pinned to one explicit class wherever a regex crosses the
+# Java-engine/RE2-oracle boundary: Java's \s is [ \t\n\x0b\f\r] but
+# RE2's excludes \x0b, so a corpus text containing a vertical tab
+# would silently diverge (ADVICE r6 — fixed for every dual-engine \s
+# site: token_count, fingerprint, pack_sequences, decontaminate_ngram)
+_WS_CLASS = "[ \\t\\n\\x0b\\f\\r]+"
+_WS_CHARS = " \\t\\n\\x0b\\f\\r"  # for use inside negated classes
+
 
 def q_token_count(spark, sf_dir):
     """Token counting: whitespace + a BPE-ish subword regex count."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split("text", "\\s+", -1)).alias("n_ws_tokens"),
-        F.regexp_count("text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast(
-            "int"
-        ).alias("n_bpeish_tokens"),
+        F.size(F.split("text", _WS_CLASS, -1)).alias("n_ws_tokens"),
+        F.regexp_count(
+            "text", F.lit(f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_CHARS}]")
+        ).cast("int").alias("n_bpeish_tokens"),
     )
 
 
-SQL_TOKEN_COUNT = """
+SQL_TOKEN_COUNT = f"""
 SELECT doc_id,
-       len(regexp_split_to_array(text, '\\s+')) AS n_ws_tokens,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+       len(regexp_split_to_array(text, '{_WS_CLASS}')) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_CHARS}]')) AS INT)
          AS n_bpeish_tokens
 FROM documents
 """
@@ -850,7 +859,7 @@ def q_fingerprint(spark, sf_dir):
     """Document fingerprinting: hash of whitespace-normalized lowercase
     text (content-defined identity for fuzzy-exact dedup)."""
     d = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower("text"), "\\s+", " ")
+    norm = F.regexp_replace(F.lower("text"), _WS_CLASS, " ")
     return d.select(
         "doc_id",
         F.md5(norm).alias("fingerprint"),
@@ -860,9 +869,9 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
-SQL_FINGERPRINT = """
+SQL_FINGERPRINT = f"""
 SELECT doc_id,
-       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+       md5(regexp_replace(lower(text), '{_WS_CLASS}', ' ', 'g')) AS fingerprint,
        md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag_fingerprint
 FROM documents
 """
@@ -962,10 +971,6 @@ FROM (
 
 
 _PACK_BUDGET = 512  # whitespace tokens per packed training sequence
-# whitespace splitter pinned to one explicit class so the Java-regex
-# engine side and the RE2 oracle side tokenize identically (Java \s
-# includes \x0b, RE2's does not)
-_WS_CLASS = "[ \\t\\n\\x0b\\f\\r]+"
 
 
 def q_pack_sequences(spark, sf_dir):

@@ -55,6 +55,50 @@ def test_decontaminate_empty_suite_is_zero_not_error(spark):
     assert all(r["n_eval_hits"] == 0 and not r["contaminated"] for r in out)
 
 
+def test_ws_class_agrees_cross_engine_on_vertical_tab(spark, tmp_path_factory):
+    """ADVICE r6: Java \\s includes \\x0b, RE2's does not — the pinned
+    explicit class must make both engines tokenize a vertical-tab
+    corpus identically. Runs the REAL catalog queries (token_count,
+    fingerprint, pack_sequences) over a synthetic documents table
+    whose texts contain \\x0b and compares Spark vs DuckDB exactly."""
+    import duckdb
+
+    from bmpp.queries import (
+        SQL_FINGERPRINT,
+        SQL_PACK_SEQUENCES,
+        SQL_TOKEN_COUNT,
+        q_fingerprint,
+        q_pack_sequences,
+        q_token_count,
+    )
+
+    d = tmp_path_factory.mktemp("vtab_docs")
+    rows = [
+        (0, "alpha\x0bbeta gamma", "py", "r0", 16),
+        (1, "a \x0b b\tc\nd\x0b\x0be", "py", "r0", 13),
+        (2, "plain text no vtab here", "go", "r1", 23),
+        (3, "\x0bleading and trailing\x0b", "go", "r1", 22),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    for fn, sql in (
+        (q_token_count, SQL_TOKEN_COUNT),
+        (q_fingerprint, SQL_FINGERPRINT),
+        (q_pack_sequences, SQL_PACK_SEQUENCES),
+    ):
+        sdf = fn(spark, str(d))
+        got = sorted(tuple(r) for r in sdf.collect())
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want, f"{fn.__name__} diverges on \\x0b corpus"
+
+
 def test_decontaminate_ngram_self_containment(spark):
     """Semantic check independent of the DuckDB oracle: every doc the
     eval snippets were CUT FROM must be flagged (it contains its own
