@@ -95,6 +95,44 @@ def test_decode_wav_exact_samples():
     )
 
 
+def test_decode_bmp_top_down_negative_height():
+    """Negative biHeight = top-down row order — same pixels, height
+    reported positive."""
+    w, h = 2, 2
+    px = bytes([100] * 6 + [0, 0] + [200] * 6 + [0, 0])  # 2 rows + pad
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(px),
+                      0, 0, 0, 0)
+    )
+    d = decode_bmp(hdr + px)
+    assert (d["width"], d["height"]) == (2, 2)
+    assert d["mean_intensity"] == pytest.approx(150 / 255.0)
+
+
+def test_decode_wav_8bit_and_stereo():
+    # 8-bit unsigned PCM, centered on 128
+    data = bytes([128, 255, 0, 128])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    d = decode_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    assert d["sample_rate"] == 8000
+    assert d["duration_sec"] == pytest.approx(4 / 8000)
+    assert d["mean_intensity"] == pytest.approx((0 + 127 + 128 + 0) / 4 / 128.0)
+    # stereo 16-bit: frames = samples / channels
+    samples = [1000, -1000, 2000, -2000]  # 2 frames x 2 channels
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    d = decode_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    assert d["sample_rate"] == 16000
+    assert d["duration_sec"] == pytest.approx(2 / 16000)
+    assert d["mean_intensity"] == pytest.approx(1500 / 32768.0)
+
+
 def test_decode_wav_rejects_corrupt_and_unsupported():
     with pytest.raises(ValueError):
         decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks
