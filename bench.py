@@ -36,6 +36,45 @@ PIPELINE_ROWS = int(os.environ.get("BMPP_BENCH_ROWS", "100000"))
 PIPELINE_PROTOCOL = "8m-splits-shm-noop-v1"
 
 
+def _merge_catalog_best(
+    bench_dir: Path, fresh: dict[str, float], sf: str, cores: int
+) -> dict[str, float]:
+    """Per-query best catalog walls merged (min) across invocations
+    under the protocol tag — the per-query analog of the pipeline
+    merge, so a single query's round-over-round regression is
+    attributable to code even on a noisy day. Queries that leave the
+    catalog are dropped; new ones enter at their fresh wall."""
+    p = bench_dir / "catalog_best.json"
+    prev: dict[str, float] = {}
+    try:
+        blob = json.loads(p.read_text())
+        if (
+            blob.get("protocol") == PIPELINE_PROTOCOL
+            and blob.get("sf") == sf
+            and blob.get("cores") == cores
+        ):
+            prev = blob.get("queries", {})
+    except (OSError, json.JSONDecodeError, AttributeError):
+        pass
+    merged = {
+        name: round(min(sec, prev.get(name, sec)), 3)
+        for name, sec in fresh.items()
+    }
+    bench_dir.mkdir(exist_ok=True)
+    p.write_text(
+        json.dumps(
+            {
+                "protocol": PIPELINE_PROTOCOL,
+                "sf": sf,
+                "cores": cores,
+                "queries": merged,
+                "total_best_sec": round(sum(merged.values()), 3),
+            }
+        )
+    )
+    return merged
+
+
 def _merge_pipeline_best(bench_dir: Path, fresh_sec: float, cores: int) -> float:
     """Merge this invocation's pipeline wall into the protocol-tagged
     best and return the merged best. Corrupt/foreign-protocol files
@@ -139,12 +178,13 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(v for k, v in timings.items() if k != "corpus_gen"), 3)
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "pipeline+catalog wall clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "sf": sf_tag,
         "pipeline_rows": PIPELINE_ROWS,
         "pipeline_rows_per_sec": round(PIPELINE_ROWS / pipeline_sec, 1),
         "cores": cores,
@@ -154,6 +194,20 @@ def main() -> None:
         "pipeline_best_sec": round(
             _merge_pipeline_best(
                 Path(__file__).resolve().parent / "BENCH", pipeline_sec, cores
+            ),
+            3,
+        ),
+        # per-query analog (BENCH/catalog_best.json): sum of merged
+        # best catalog walls — the number to compare across rounds
+        "catalog_best_total_sec": round(
+            sum(
+                _merge_catalog_best(
+                    Path(__file__).resolve().parent / "BENCH",
+                    {k: v for k, v in timings.items()
+                     if k not in ("corpus_gen", "pipeline_100k")},
+                    sf_tag,
+                    cores,
+                ).values()
             ),
             3,
         ),
