@@ -269,6 +269,21 @@ def test_decontaminate_is_broadcast_and_shuffle_free(spark):
     assert "hashpartitioning" not in plan
 
 
+def test_decontaminate_ngram_is_one_arrow_pass_no_join(spark):
+    """The n-gram form's corpus pass must stay ONE Arrow kernel over
+    the scan: no Exchange, no join of any kind (the eval gram set
+    rides in as a SparkContext broadcast variable, invisible to the
+    plan) — the exploded-gram join formulation this operator exists
+    to avoid would show up here as an Exchange."""
+    from bmpp.queries import q_decontaminate_ngram
+
+    plan = _plan(q_decontaminate_ngram(spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    tree = plan.split("\n\n")[0]
+    assert sum("ArrowEvalPython" in ln for ln in tree.splitlines()) == 1
+
+
 def test_stratified_split_single_exchange_and_pruned(spark):
     """Both windows share one hashpartitioning(lang) exchange, and the
     scan must not read text (the split is a function of doc_id/lang)."""
