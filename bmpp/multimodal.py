@@ -10,12 +10,14 @@ Decode status per codec (round 7 — VERDICT r6 item 4):
 - **WAV**: REAL decode — RIFF chunk walk, PCM 8/16-bit samples via
   numpy: ``sample_rate``/``duration_sec`` from the fmt/data chunks,
   ``mean_intensity`` carries the normalized mean |amplitude|.
-- **PNG**: metadata-only — width/height from the IHDR chunk (real
-  parse); pixel decode needs zlib+filter reconstruction and stays
-  behind the sandbox boundary (``decode_error`` set).
-- **JPEG / MP4 / unknown**: documented sandbox boundary — a real
-  deployment routes these to its decode library; here they surface
-  ``decode_error`` and never kill a task.
+- **PNG**: REAL decode — 8-bit non-interlaced gray/RGB/alpha: chunk
+  walk, stdlib-zlib IDAT inflate, per-scanline unfilter
+  (None/Sub/Up/Average/Paeth), true pixel-mean intensity. 16-bit,
+  palette and interlaced PNGs stay behind the boundary
+  (``decode_error`` set).
+- **JPEG / MP4 / unknown**: documented sandbox boundary (entropy
+  codecs) — a real deployment routes these to its decode library;
+  here they surface ``decode_error`` and never kill a task.
 
 Schema convention (one row = one asset):
   asset_id: long, kind: string ('image'|'audio'|'video'),
@@ -26,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -61,6 +64,91 @@ def png_dimensions(blob: bytes) -> tuple[int, int] | None:
         return None
     w, h = struct.unpack(">II", blob[16:24])
     return int(w), int(h)
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def decode_png(blob: bytes) -> dict:
+    """REAL decode of 8-bit non-interlaced PNG (gray / RGB /
+    gray+alpha / RGBA) with stdlib zlib + numpy: chunk walk, IDAT
+    inflate, per-scanline unfilter (None/Sub/Up/Average/Paeth per the
+    PNG spec §9), then the true mean over the reconstructed sample
+    bytes. 16-bit, palette and interlaced PNGs raise
+    NotImplementedError (the deployment decode library's job);
+    corrupt streams raise ValueError."""
+    if not blob.startswith(_PNG_MAGIC):
+        raise ValueError("bad PNG magic")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(blob):
+        (clen,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("missing PNG IHDR")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"no decoder for PNG depth={depth} color={color} "
+            f"interlace={interlace} (only 8-bit non-interlaced "
+            "gray/RGB/alpha in-sandbox)"
+        )
+    if not idat:
+        raise ValueError("missing PNG IDAT")
+    if w < 1 or h < 1:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG IDAT stream: {e}") from None
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    lines = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), np.uint16)  # u16: filter math needs >8 bits
+    prev = np.zeros(stride, np.uint16)
+    for y in range(h):
+        ftype, line = lines[y, 0], lines[y, 1:].astype(np.uint16)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: left-recurrent
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0  # left
+                b = prev[x]  # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (int(a) + int(b)) // 2
+                else:
+                    c = prev[x - ch] if x >= ch else 0  # up-left
+                    p = int(a) + int(b) - int(c)
+                    pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return {
+        "width": int(w),
+        "height": int(h),
+        "mean_intensity": float(out.mean()) / 255.0,
+    }
 
 
 def decode_bmp(blob: bytes) -> dict:
@@ -165,14 +253,7 @@ def decode_media(blob: bytes) -> dict:
     elif codec == "wav":
         out = decode_wav(blob)
     elif codec == "png":
-        dims = png_dimensions(blob)
-        if dims is None:
-            raise ValueError("truncated PNG IHDR")
-        raise NotImplementedError(
-            "no pixel decoder for codec 'png' in sandbox (IHDR "
-            f"metadata {dims[0]}x{dims[1]} parses; zlib+filter "
-            "reconstruction routes to the deployment decode library)"
-        )
+        out = decode_png(blob)
     else:
         raise NotImplementedError(f"no decoder for codec {codec!r} in sandbox")
     digest = hashlib.sha256(blob).digest()
@@ -180,11 +261,56 @@ def decode_media(blob: bytes) -> dict:
     return out
 
 
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels, row_filters=None, interlace: int = 0) -> bytes:
+    """Minimal spec-correct PNG writer (8-bit RGB, real zlib stream +
+    chunk CRCs) for synthetic assets and decoder tests. ``pixels`` is
+    an (h, w, 3) uint8 array; ``row_filters`` picks the per-scanline
+    filter (0=None, 1=Sub, 2=Up) so the decoder's unfilter paths get
+    exercised by data that round-trips exactly."""
+    px = np.asarray(pixels, np.uint8)
+    h, w, ch = px.shape
+    assert ch == 3
+    flat = px.reshape(h, w * ch).astype(np.int16)
+    filters = row_filters or [0] * h
+    lines = []
+    for y in range(h):
+        f = filters[y]
+        row = flat[y]
+        if f == 0:
+            enc = row
+        elif f == 1:  # Sub: minus left pixel's same sample
+            left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
+            enc = row - left
+        elif f == 2:  # Up: minus previous raw scanline
+            prev = flat[y - 1] if y else np.zeros_like(row)
+            enc = row - prev
+        else:
+            raise ValueError(f"encoder supports filters 0/1/2, got {f}")
+        lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, interlace)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def make_synthetic_assets(n: int, seed: int = 42) -> list[dict]:
     """Deterministic media blobs covering every decode path: REAL
-    24-bit BMPs and PCM-16 WAVs (decoded for real), valid-IHDR PNGs
-    (metadata-only boundary), plus JPEG-magic and truncated-BMP rows
-    (error isolation). Pure function of (seed, i)."""
+    24-bit BMPs, PCM-16 WAVs and zlib-compressed RGB PNGs (decoded
+    for real, PNG filter types 0/1/2 all represented), an interlaced
+    PNG (boundary), plus JPEG-magic and truncated-BMP rows (error
+    isolation). Pure function of (seed, i)."""
     import random
 
     out = []
@@ -214,16 +340,14 @@ def make_synthetic_assets(n: int, seed: int = 42) -> list[dict]:
             body += b"data" + struct.pack("<I", len(samples)) + samples
             blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
             kind, codec, mw, mh = "audio", "wav", 0, 0
-        elif roll < 9:  # PNG: IHDR metadata real, pixel decode stubbed
-            mw, mh = rng.randint(8, 512), rng.randint(8, 512)
-            body = bytes(rng.randrange(256) for _ in range(64))
-            blob = (
-                _PNG_MAGIC
-                + struct.pack(">I", 13)
-                + b"IHDR"
-                + struct.pack(">IIBBBBB", mw, mh, 8, 2, 0, 0, 0)
-                + body
-            )
+        elif roll < 9:  # real decodable PNG (every 10th interlaced →
+            # documented boundary error)
+            mw, mh = rng.randint(2, 24), rng.randint(2, 24)
+            px = np.array(
+                [rng.randrange(256) for _ in range(mh * mw * 3)], np.uint8
+            ).reshape(mh, mw, 3)
+            filters = [rng.choice((0, 1, 2)) for _ in range(mh)]
+            blob = encode_png(px, filters, interlace=1 if i % 30 == 8 else 0)
             kind, codec = "image", "png"
         elif i % 20 == 9:  # corrupt: BMP magic, truncated pixel array
             blob = b"BM" + bytes(rng.randrange(256) for _ in range(60))

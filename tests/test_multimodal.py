@@ -19,7 +19,9 @@ from bmpp.multimodal import (
     MEDIA_SCHEMA,
     decode_bmp,
     decode_media,
+    decode_png,
     decode_wav,
+    encode_png,
     extract_image_features,
     make_synthetic_assets,
     png_dimensions,
@@ -95,6 +97,76 @@ def test_decode_wav_exact_samples():
     )
 
 
+def test_decode_png_roundtrip_filters_012():
+    """encode_png writes real zlib streams with None/Sub/Up scanline
+    filters; the decoder must reconstruct the exact pixel mean."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (6, 4, 3)).astype(np.uint8)
+    for filters in ([0] * 6, [1] * 6, [2] * 6, [0, 1, 2, 2, 1, 0]):
+        d = decode_png(encode_png(px, filters))
+        assert (d["width"], d["height"]) == (4, 6)
+        assert d["mean_intensity"] * 255 == pytest.approx(px.mean(), abs=1e-9)
+
+
+def test_decode_png_average_and_paeth_filters():
+    """Filters 3 (Average) and 4 (Paeth) aren't emitted by encode_png,
+    so build their scanlines with an independent reference filterer
+    (spec §9 arithmetic written out) and require exact reconstruction."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from bmpp.multimodal import _PNG_MAGIC, _png_chunk
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (4, 3, 3)).astype(np.uint8)
+    h, w, ch = px.shape
+    flat = px.reshape(h, w * ch).astype(int)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    for f in (3, 4):
+        lines = []
+        for y in range(h):
+            enc = bytearray([f])
+            for x in range(w * ch):
+                a = flat[y][x - ch] if x >= ch else 0
+                b = flat[y - 1][x] if y else 0
+                c = flat[y - 1][x - ch] if (y and x >= ch) else 0
+                pred = (a + b) // 2 if f == 3 else paeth(a, b, c)
+                enc.append((flat[y][x] - pred) % 256)
+            lines.append(bytes(enc))
+        blob = (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IEND", b"")
+        )
+        d = decode_png(blob)
+        assert d["mean_intensity"] * 255 == pytest.approx(px.mean(), abs=1e-9), f
+
+
+def test_decode_png_rejects_boundary_formats():
+    import numpy as np
+
+    px = np.zeros((2, 2, 3), np.uint8)
+    with pytest.raises(NotImplementedError, match="interlace=1"):
+        decode_png(encode_png(px, None, interlace=1))
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\njunk")  # no IHDR
+    blob = encode_png(px, None)
+    with pytest.raises(ValueError, match="IDAT stream"):
+        # corrupt the zlib stream (IDAT body starts after the IHDR
+        # chunk: 8 magic + 25 IHDR + 8 len/type)
+        decode_png(blob[:45] + b"\x00\x00" + blob[47:])
+
+
 def test_decode_bmp_top_down_negative_height():
     """Negative biHeight = top-down row order — same pixels, height
     reported positive."""
@@ -145,6 +217,10 @@ def test_decode_wav_rejects_corrupt_and_unsupported():
 
 
 def test_extract_features_real_decode_and_error_isolation(spark, assets_df):
+    """The distributed op must agree row-for-row with a direct local
+    decode_media call, and the asset mix must keep exercising every
+    path: real BMP, real PNG (incl. pixel dims from actual decode),
+    real WAV, and isolated errors (jpeg/interlaced-png/corrupt-bmp)."""
     out = extract_image_features(assets_df).collect()
     assert len(out) == 200
     by_id = {r["asset_id"]: r for r in out}
@@ -153,25 +229,28 @@ def test_extract_features_real_decode_and_error_isolation(spark, assets_df):
     for a in assets:
         r = by_id[a["asset_id"]]
         codec = a["meta"]["codec"]
-        real = codec == "bmp" and a["meta"]["width"] > 0
-        if real:  # real pixel decode inside the UDF
-            assert (r["width"], r["height"]) == (
-                a["meta"]["width"], a["meta"]["height"]
-            )
-            assert r["decode_error"] is None
-            assert 0.0 <= r["mean_intensity"] <= 1.0
-            saw.add("bmp")
-        elif codec == "wav":  # real sample decode
-            assert r["decode_error"] is None
-            assert r["sample_rate"] in (8000, 16000)
-            assert r["duration_sec"] > 0
-            assert 0.0 <= r["mean_intensity"] <= 1.0
-            saw.add("wav")
-        else:  # png/jpeg boundary + corrupt bmp → column, task survives
+        try:
+            want = decode_media(bytes(a["media"]))
+        except (NotImplementedError, ValueError, struct.error):
+            want = None
+        if want is None:  # boundary/corrupt → column, task survives
             assert r["decode_error"] is not None
             assert r["feature_hash"] is None
             saw.add("err")
-    assert saw == {"bmp", "wav", "err"}, "asset mix lost a decode path"
+            continue
+        assert r["decode_error"] is None
+        assert 0.0 <= r["mean_intensity"] <= 1.0
+        if codec in ("bmp", "png"):  # real pixel decode inside the UDF
+            assert (r["width"], r["height"]) == (
+                a["meta"]["width"], a["meta"]["height"]
+            )
+            saw.add(codec)
+        else:  # real sample decode
+            assert codec == "wav"
+            assert r["sample_rate"] in (8000, 16000)
+            assert r["duration_sec"] > 0
+            saw.add("wav")
+    assert saw == {"bmp", "png", "wav", "err"}, "asset mix lost a decode path"
 
 
 def test_frame_sample_plan(spark):
