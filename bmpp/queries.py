@@ -2118,11 +2118,12 @@ FROM documents
 
 def q_multimodal_features(spark, sf_dir):
     """Binary media columns → feature extraction via mapInPandas
-    (bmpp.multimodal). BMP (24-bit pixel arrays) and PCM WAV
-    (8/16-bit samples) are decoded FOR REAL with struct/numpy byte
-    math — true pixel-mean intensity, sample rate and duration — while
-    PNG/JPEG stay the documented sandbox codec boundary (metadata
-    parse + errors-as-columns). The assets are a pure function of
+    (bmpp.multimodal). BMP (24-bit pixel arrays), 8-bit PNG
+    (zlib inflate + scanline unfilter) and PCM WAV (8/16-bit samples)
+    are decoded FOR REAL with stdlib/numpy byte math — true pixel-mean
+    intensity, sample rate and duration — while JPEG/MP4 and
+    exotic-PNG variants stay the documented sandbox codec boundary
+    (errors-as-columns). The assets are a pure function of
     (seed, i), so the expected output is frozen as
     fixtures/multimodal_300.parquet (scripts/gen_multimodal_fixture.py,
     same decode functions) — the DuckDB oracle reads it back, and the
