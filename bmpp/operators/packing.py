@@ -1,0 +1,110 @@
+"""Two-phase global sequence packing — the 100 TB form of the
+window-based ``pack_sequences`` catalog op.
+
+The window form (`sum() OVER (PARTITION BY stream ORDER BY key)`)
+hash-shuffles every row of a stream into ONE task: a single 100 TB
+stream (one dominant language, one tenant) would single-reduce. The
+classic two-phase prefix-sum form preserves the EXACT same outputs
+while bounding every task by data SIZE instead of stream key:
+
+  phase 0  repartitionByRange(stream, key) + sortWithinPartitions —
+           the only full shuffle, and a range shuffle splits a mega
+           stream across many partitions instead of hashing it into
+           one;
+  phase 1  one Arrow pass per partition computes each row's
+           LOCAL-prefix token count (order preserved inside sorted
+           partitions; state carried across record batches);
+  phase 2  per-(partition, stream) token totals — a partial+final agg
+           whose output is O(partitions × streams) rows — come to the
+           driver, an exclusive scan per stream turns them into
+           partition offsets, and a broadcast join adds offset +
+           local prefix.
+
+Reference analog: the chr_size bin-packing splits work by cumulative
+interval size the same way (bamMergePreprocessing.wdl:102-160;
+bmpp/plan.py mirrors it at plan time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_offsets_two_phase(
+    d: DataFrame,
+    stream_col: str = "lang",
+    order_col: str = "doc_id",
+    ntok_col: str = "n_tokens",
+    num_partitions: int | None = None,
+    persist_fn=None,
+) -> DataFrame:
+    """Add ``cum_before`` (tokens before this row in its stream, long)
+    to ``d`` without ever windowing over a whole stream. Output rows
+    equal the window form bit-for-bit; only the physical plan differs.
+
+    The driver-side exclusive scan touches O(partitions × streams)
+    rows — bounded by cluster geometry, never by data volume (the same
+    bounded-collect discipline as simsearch's centroid sample)."""
+    spark = d.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = d.repartitionByRange(
+        n_parts, stream_col, order_col
+    ).sortWithinPartitions(stream_col, order_col)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+
+    cols = [f.name for f in with_pid.schema.fields]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in with_pid.schema.fields
+    ) + ", _local_before bigint"
+
+    def local_prefix(batches):
+        # rows arrive sorted by (stream, order) inside the partition;
+        # carry the running per-stream total across record batches
+        run_stream, run_total = None, 0
+        for pdf in batches:
+            before = []
+            for s, t in zip(pdf[stream_col], pdf[ntok_col]):
+                if s != run_stream:
+                    run_stream, run_total = s, 0
+                before.append(run_total)
+                run_total += int(t)
+            pdf = pdf.copy()
+            pdf["_local_before"] = before
+            yield pdf
+
+    local = with_pid.mapInPandas(local_prefix, out_schema)
+    # ONE execution feeds both the totals agg and the final join (the
+    # range shuffle + Arrow pass must not run once per plan branch).
+    # persist_fn lets callers route through their own cache registry
+    # (bmpp.queries._eager_persist) so repeated invocations reuse the
+    # live cache instead of stacking persists.
+    if persist_fn is not None:
+        local = persist_fn(local)
+    else:
+        local = local.persist()
+        local.count()
+
+    # phase 2: per-(partition, stream) totals → driver exclusive scan.
+    # partial+final agg: O(n_parts × n_streams) output rows.
+    totals = (
+        local.groupBy("_pid", stream_col)
+        .agg(F.sum(ntok_col).cast("long").alias("_ptotal"))
+        .collect()
+    )
+    offsets: dict[tuple[int, str], int] = {}
+    running: dict[str, int] = {}
+    for r in sorted(totals, key=lambda r: (r[stream_col], r["_pid"])):
+        offsets[(r["_pid"], r[stream_col])] = running.get(r[stream_col], 0)
+        running[r[stream_col]] = (
+            running.get(r[stream_col], 0) + r["_ptotal"]
+        )
+    off_df = spark.createDataFrame(
+        [(p, s, o) for (p, s), o in offsets.items()],
+        f"_pid int, {stream_col} string, _offset long",
+    )
+    joined = local.join(F.broadcast(off_df), ["_pid", stream_col])
+    return joined.select(
+        *cols,
+        (F.col("_offset") + F.col("_local_before")).alias("cum_before"),
+    ).drop("_pid")

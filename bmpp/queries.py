@@ -1010,6 +1010,36 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_pack_sequences_global(spark, sf_dir):
+    """Sequence packing via the TWO-PHASE prefix-sum operator
+    (operators/packing.pack_offsets_two_phase) — the documented 100 TB
+    form of ``pack_sequences``, now code instead of prose: a range
+    shuffle bounds every task by data SIZE (a mega stream spreads over
+    many partitions instead of hash-reducing into one), one Arrow pass
+    computes local prefixes, and the driver's exclusive scan touches
+    only O(partitions × streams) rows. Output contract is identical to
+    the window form, so the SAME DuckDB oracle verifies both — and
+    tests/test_guards.py asserts the two forms agree row-for-row."""
+    from .operators.packing import pack_offsets_two_phase
+
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", _WS_CLASS, -1))
+    base = d.select("doc_id", "lang", ntok.alias("n_tokens"))
+    packed = pack_offsets_two_phase(
+        base,
+        persist_fn=lambda df: _eager_persist("pack_global_local", df),
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(F.col("cum_before") / F.lit(_PACK_BUDGET)).alias("seq_id"),
+        F.pmod(F.col("cum_before"), F.lit(_PACK_BUDGET)).cast("long").alias(
+            "seq_offset"
+        ),
+    )
+
+
 SQL_PACK_SEQUENCES = f"""
 WITH t AS (
   SELECT doc_id, lang,
@@ -2687,10 +2717,11 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # round — while any query whose implementation changed, plus the
 # model-backed ones that missed the previous window, sit early.
 # Round 7 rotation: the 5 model-backed queries (untested r6) moved to
-# the front; 6 untouched relational queries green in r5+r6
+# the front; 7 untouched relational queries green in r5+r6
 # (pricing_summary, revenue_by_segment, customers_per_region,
-# top_orders_per_priority, pivot_matrix, cube_rollup) rotated past
-# the window (56 entries total after decontaminate_ngram landed).
+# top_orders_per_priority, semi_anti_join, pivot_matrix, cube_rollup)
+# rotated past the window (57 entries total after decontaminate_ngram
+# and pack_sequences_global landed).
 CATALOG: dict[str, tuple[Callable, str | None]] = {
     # model-backed (rotated to the front for round 7 — see policy above)
     # oracle via the frozen-model fixture (see q_langid)
@@ -2715,7 +2746,6 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "metrics_report": (q_metrics_report, SQL_METRICS_REPORT),
     "collect_by_group": (q_collect_by_group, SQL_COLLECT_BY_GROUP),
     # relational breadth (§2.2)
-    "semi_anti_join": (q_semi_anti_join, SQL_SEMI_ANTI_JOIN),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
@@ -2732,6 +2762,8 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "stratified_split": (q_stratified_split, SQL_STRATIFIED_SPLIT),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    # two-phase form: same output contract, same oracle
+    "pack_sequences_global": (q_pack_sequences_global, SQL_PACK_SEQUENCES),
     "domain_cap_sample": (q_domain_cap_sample, SQL_DOMAIN_CAP_SAMPLE),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "decontaminate_ngram": (q_decontaminate_ngram, SQL_DECONTAMINATE_NGRAM),
@@ -2756,7 +2788,7 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "stream_dedup_counts": (q_stream_dedup_counts, SQL_STREAM_DEDUP_COUNTS),
     "stream_exact_dedup": (q_stream_exact_dedup, SQL_STREAM_EXACT_DEDUP),
     "stream_quality_filter": (q_stream_quality_filter, SQL_STREAM_QUALITY),
-    # ---- past the 50-entry driver window (round-7 rotation): 6
+    # ---- past the 50-entry driver window (round-7 rotation): 7
     # stable relational queries, green in r5 AND r6, code untouched
     # this round; still verified every round by the local replica
     # (tests/test_driver_contract.py runs ALL entries) ----
@@ -2764,6 +2796,7 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "revenue_by_segment": (q_revenue_by_segment, SQL_REVENUE_BY_SEGMENT),
     "customers_per_region": (q_customers_per_region, SQL_CUSTOMERS_PER_REGION),
     "top_orders_per_priority": (q_top_orders_per_priority, SQL_TOP_ORDERS_PER_PRIORITY),
+    "semi_anti_join": (q_semi_anti_join, SQL_SEMI_ANTI_JOIN),
     "pivot_matrix": (q_pivot, SQL_PIVOT),
     "cube_rollup": (q_cube_rollup, SQL_CUBE_ROLLUP),
 }

@@ -117,6 +117,45 @@ def test_decontaminate_ngram_self_containment(spark):
     )
 
 
+def test_two_phase_packing_equals_window_form(spark):
+    """pack_sequences_global (range shuffle + local Arrow prefix +
+    driver exclusive scan) must reproduce the window form's rows
+    BIT-FOR-BIT — same cum_before means same seq_id/seq_offset for
+    every doc, at any partition count."""
+    from bmpp.queries import q_pack_sequences, q_pack_sequences_global
+
+    sf = "/root/testdata/sf0.01"
+    want = {r["doc_id"]: tuple(r) for r in q_pack_sequences(spark, sf).collect()}
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in q_pack_sequences_global(spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_two_phase_packing_partition_count_invariant(spark):
+    """The two-phase outputs must not depend on cluster geometry: 3
+    partitions and 17 partitions give identical offsets (boundaries
+    move; the exclusive scan re-derives the same global prefix)."""
+    from pyspark.sql import functions as F
+
+    from bmpp.operators.packing import pack_offsets_two_phase
+    from bmpp.queries import _WS_CLASS
+
+    d = (
+        _docs(spark)
+        .select(
+            "doc_id", "lang",
+            F.size(F.split("text", _WS_CLASS, -1)).alias("n_tokens"),
+        )
+    )
+    outs = []
+    for nparts in (3, 17):
+        res = pack_offsets_two_phase(d, num_partitions=nparts)
+        outs.append({r["doc_id"]: r["cum_before"] for r in res.collect()})
+    assert outs[0] == outs[1]
+
+
 def test_dedup_counts_final_row_survives_multi_batch(spark, tmp_path_factory):
     """Force a genuinely multi-micro-batch run (maxFilesPerTrigger=1
     over a multi-file stage) and prove the q_stream_dedup_counts

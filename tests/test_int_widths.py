@@ -35,6 +35,8 @@ SF = "/root/testdata/sf0.001"
 MUST_BE_LONG = [
     ("pack_sequences", "seq_id"),
     ("pack_sequences", "seq_offset"),
+    ("pack_sequences_global", "seq_id"),
+    ("pack_sequences_global", "seq_offset"),
     ("sessionize", "session_id"),
     ("running_totals", "orders_so_far"),
     ("vocab_topk", "n"),
@@ -62,6 +64,7 @@ BOUNDED_INT = {
     ("ann_topk", "rank"): "post-filter rank <= k",
     ("ivf_ann_topk", "rank"): "post-filter rank <= k",
     ("pack_sequences", "n_tokens"): "per-document token count",
+    ("pack_sequences_global", "n_tokens"): "per-document token count",
     ("token_count", "n_ws_tokens"): "per-document token count",
     ("token_count", "n_bpeish_tokens"): "per-document token count",
     ("udtf_chunks", "chunk_idx"): "per-document chunk index",
@@ -115,7 +118,8 @@ def test_bounded_int_columns_documented(schemas, name, col):
 
 @pytest.mark.parametrize(
     "name",
-    ["pack_sequences", "sessionize", "running_totals", "vocab_topk",
+    ["pack_sequences", "pack_sequences_global", "sessionize",
+     "running_totals", "vocab_topk",
      "events_hourly", "score_partial", "token_count", "udtf_chunks",
      "winnow_fingerprint", "intradoc_dedup"],
 )
