@@ -2179,6 +2179,34 @@ FROM read_parquet('{_MULTIMODAL_FIXTURE}')
 """
 
 
+_MM_STREAM_SEQ = _itertools.count()  # stream_multimodal staging
+
+
+def q_stream_multimodal(spark, sf_dir):
+    """STREAMING multimodal feature extraction: readStream over staged
+    binary-media parquet → the SAME mapInPandas decode op the batch
+    query uses (stateless, so it runs unchanged on the streaming
+    engine) → memory sink. Continuous ingestion of image/audio assets
+    — the decode half of a production media pipeline — and the output
+    must equal the frozen batch fixture exactly, proving binary
+    columns, Arrow batches and errors-as-columns survive micro-batch
+    execution byte-for-byte."""
+    import shutil
+    from pathlib import Path
+
+    from .multimodal import MEDIA_SCHEMA, extract_image_features, make_synthetic_assets
+    from .streaming import _run_to_memory
+
+    df = spark.createDataFrame(make_synthetic_assets(300), schema=MEDIA_SCHEMA)
+    stage = Path(_roundtrip_dir()) / f"mm_{Path(sf_dir).name}_{next(_MM_STREAM_SEQ)}"
+    df.write.mode("overwrite").parquet(str(stage))
+    try:
+        src = spark.readStream.schema(df.schema).parquet(str(stage))
+        return _run_to_memory(extract_image_features(src), "append")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 
 def q_minhash_neardup(spark, sf_dir):
     """MinHash-LSH near-dup marking over documents. Exactness vs the
@@ -2717,11 +2745,12 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # round — while any query whose implementation changed, plus the
 # model-backed ones that missed the previous window, sit early.
 # Round 7 rotation: the 5 model-backed queries (untested r6) moved to
-# the front; 7 untouched relational queries green in r5+r6
+# the front; 8 untouched relational queries green in r5+r6
 # (pricing_summary, revenue_by_segment, customers_per_region,
-# top_orders_per_priority, semi_anti_join, pivot_matrix, cube_rollup)
-# rotated past the window (57 entries total after decontaminate_ngram
-# and pack_sequences_global landed).
+# top_orders_per_priority, semi_anti_join, events_hourly,
+# pivot_matrix, cube_rollup) rotated past the window (58 entries
+# total after decontaminate_ngram, pack_sequences_global and
+# stream_multimodal landed).
 CATALOG: dict[str, tuple[Callable, str | None]] = {
     # model-backed (rotated to the front for round 7 — see policy above)
     # oracle via the frozen-model fixture (see q_langid)
@@ -2733,6 +2762,8 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_hamming": (q_simhash_hamming, SQL_SIMHASH_HAMMING),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+    # same decode op on the streaming engine, same fixture oracle
+    "stream_multimodal": (q_stream_multimodal, SQL_MULTIMODAL),
     # pipeline operators (SURVEY.md §2.1 #2-#13)
     "filter_heuristics": (q_filter_heuristics, SQL_FILTER_HEURISTICS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
@@ -2746,7 +2777,6 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "metrics_report": (q_metrics_report, SQL_METRICS_REPORT),
     "collect_by_group": (q_collect_by_group, SQL_COLLECT_BY_GROUP),
     # relational breadth (§2.2)
-    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
     # sketch outputs frozen as a fixture (deterministic: merge order
@@ -2788,7 +2818,7 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "stream_dedup_counts": (q_stream_dedup_counts, SQL_STREAM_DEDUP_COUNTS),
     "stream_exact_dedup": (q_stream_exact_dedup, SQL_STREAM_EXACT_DEDUP),
     "stream_quality_filter": (q_stream_quality_filter, SQL_STREAM_QUALITY),
-    # ---- past the 50-entry driver window (round-7 rotation): 7
+    # ---- past the 50-entry driver window (round-7 rotation): 8
     # stable relational queries, green in r5 AND r6, code untouched
     # this round; still verified every round by the local replica
     # (tests/test_driver_contract.py runs ALL entries) ----
@@ -2797,6 +2827,7 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "customers_per_region": (q_customers_per_region, SQL_CUSTOMERS_PER_REGION),
     "top_orders_per_priority": (q_top_orders_per_priority, SQL_TOP_ORDERS_PER_PRIORITY),
     "semi_anti_join": (q_semi_anti_join, SQL_SEMI_ANTI_JOIN),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "pivot_matrix": (q_pivot, SQL_PIVOT),
     "cube_rollup": (q_cube_rollup, SQL_CUBE_ROLLUP),
 }
