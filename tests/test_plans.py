@@ -284,6 +284,20 @@ def test_decontaminate_ngram_is_one_arrow_pass_no_join(spark):
     assert sum("ArrowEvalPython" in ln for ln in tree.splitlines()) == 1
 
 
+def test_pack_sequences_global_no_hash_shuffle(spark):
+    """The two-phase form's whole point: no hashpartitioning on the
+    stream key anywhere (the window form's mega-stream single-reducer).
+    The only data movement is the RANGE shuffle (bounded-size
+    partitions) and a BroadcastExchange for the O(parts × streams)
+    offset table."""
+    from bmpp.queries import q_pack_sequences_global
+
+    plan = _plan(q_pack_sequences_global(spark, SF))
+    assert "hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+
+
 def test_stratified_split_single_exchange_and_pruned(spark):
     """Both windows share one hashpartitioning(lang) exchange, and the
     scan must not read text (the split is a function of doc_id/lang)."""
