@@ -1368,7 +1368,12 @@ def q_decontaminate_ngram(spark, sf_dir):
     eval side fits in memory — and a suite too big for THAT compresses
     each gram to an int64 hash before broadcast, same plan shape).
     Tokenization is the pinned _WS_CLASS split, lowercased, empties
-    dropped — identical in the kernel and the DuckDB oracle."""
+    dropped — identical in the kernel and the DuckDB oracle. Case
+    folding envelope: the kernel uses Python str.lower and the oracle
+    DuckDB's lower; they agree on the corpus (ASCII + common Unicode)
+    but locale-special codepoints (e.g. dotted/dotless I) are outside
+    the pinned contract — same class of envelope as
+    test_stream_quality_sql's documented regex boundary."""
     d = _t(spark, sf_dir, "documents")
     ev = (
         d.filter((F.col("doc_id") < 500) & (F.col("doc_id") % 50 == 7))
