@@ -175,6 +175,10 @@ def decode_bmp(blob: bytes) -> dict:
         )
     if w <= 0 or h == 0:
         raise ValueError(f"bad BMP dimensions {w}x{h}")
+    if px_off < 54 or px_off > len(blob):
+        # a pixel offset inside the header region would silently
+        # "decode" header bytes as pixels
+        raise ValueError(f"bad BMP pixel offset {px_off}")
     rows = abs(h)  # negative height = top-down row order; same pixels
     stride = (w * 3 + 3) & ~3
     if len(blob) < px_off + stride * rows:
@@ -242,11 +246,11 @@ def decode_wav(blob: bytes) -> dict:
 
 
 def decode_media(blob: bytes) -> dict:
-    """Dispatch decode: BMP/WAV decode for real (above); PNG yields its
-    IHDR metadata but no pixel statistics (zlib+filter reconstruction
-    stays behind the sandbox boundary); JPEG/unknown raise. Successful
-    decodes also carry ``feature_hash`` — a content fingerprint
-    (sha256-derived int64) for downstream media dedup."""
+    """Dispatch decode: BMP, PNG and WAV decode for real (above);
+    JPEG/unknown — and the PNG/BMP/WAV variants the specific decoders
+    reject — raise. Successful decodes also carry ``feature_hash`` — a
+    content fingerprint (sha256-derived int64) for downstream media
+    dedup."""
     codec = sniff_codec(blob)
     if codec == "bmp":
         out = decode_bmp(blob)
@@ -340,8 +344,9 @@ def make_synthetic_assets(n: int, seed: int = 42) -> list[dict]:
             body += b"data" + struct.pack("<I", len(samples)) + samples
             blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
             kind, codec, mw, mh = "audio", "wav", 0, 0
-        elif roll < 9:  # real decodable PNG (every 10th interlaced →
-            # documented boundary error)
+        elif roll < 9:  # real decodable PNG (asset indices ≡8 mod 30 —
+            # one in nine PNG rows — interlaced: documented boundary
+            # error; first at i=8, so n ≥ 9 keeps the case in the mix)
             mw, mh = rng.randint(2, 24), rng.randint(2, 24)
             px = np.array(
                 [rng.randrange(256) for _ in range(mh * mw * 3)], np.uint8

@@ -37,7 +37,6 @@ def pack_offsets_two_phase(
     order_col: str = "doc_id",
     ntok_col: str = "n_tokens",
     num_partitions: int | None = None,
-    persist_fn=None,
 ) -> DataFrame:
     """Add ``cum_before`` (tokens before this row in its stream, long)
     to ``d`` without ever windowing over a whole stream. Output rows
@@ -74,16 +73,16 @@ def pack_offsets_two_phase(
             yield pdf
 
     local = with_pid.mapInPandas(local_prefix, out_schema)
-    # ONE execution feeds both the totals agg and the final join (the
-    # range shuffle + Arrow pass must not run once per plan branch).
-    # persist_fn lets callers route through their own cache registry
-    # (bmpp.queries._eager_persist) so repeated invocations reuse the
-    # live cache instead of stacking persists.
-    if persist_fn is not None:
-        local = persist_fn(local)
-    else:
-        local = local.persist()
-        local.count()
+    # localCheckpoint, NOT persist: the offset table is keyed by the
+    # _pid values of ONE materialization, and a dropped/evicted cache
+    # would silently re-run the range shuffle with fresh boundary
+    # sampling — new pids joined against stale offsets = corrupt
+    # cum_before with no error. Checkpointing truncates lineage to the
+    # concrete materialized blocks, so re-derivation is impossible:
+    # every later action reuses these exact pids, and a lost block
+    # FAILS the job loudly instead of recomputing differently. (The
+    # blocks are released when the DataFrame is garbage-collected.)
+    local = local.localCheckpoint(eager=True)
 
     # phase 2: per-(partition, stream) totals → driver exclusive scan.
     # partial+final agg: O(n_parts × n_streams) output rows.
@@ -99,9 +98,10 @@ def pack_offsets_two_phase(
         running[r[stream_col]] = (
             running.get(r[stream_col], 0) + r["_ptotal"]
         )
+    stream_type = d.schema[stream_col].dataType.simpleString()
     off_df = spark.createDataFrame(
         [(p, s, o) for (p, s), o in offsets.items()],
-        f"_pid int, {stream_col} string, _offset long",
+        f"_pid int, {stream_col} {stream_type}, _offset long",
     )
     joined = local.join(F.broadcast(off_df), ["_pid", stream_col])
     return joined.select(

@@ -1025,10 +1025,11 @@ def q_pack_sequences_global(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     ntok = F.size(F.split("text", _WS_CLASS, -1))
     base = d.select("doc_id", "lang", ntok.alias("n_tokens"))
-    packed = pack_offsets_two_phase(
-        base,
-        persist_fn=lambda df: _eager_persist("pack_global_local", df),
-    )
+    # the operator localCheckpoints internally: offsets are keyed to
+    # one materialization's partition ids, so it must never route
+    # through the _eager_persist cache (an eviction would silently
+    # re-sample range boundaries under a stale offset table)
+    packed = pack_offsets_two_phase(base)
     return packed.select(
         "doc_id",
         "lang",
@@ -1043,7 +1044,7 @@ def q_pack_sequences_global(spark, sf_dir):
 SQL_PACK_SEQUENCES = f"""
 WITH t AS (
   SELECT doc_id, lang,
-         len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens
+         len(regexp_split_to_array(text, '{_WS_CLASS}')) AS n_tokens
   FROM documents),
 c AS (
   SELECT *,
@@ -1394,7 +1395,7 @@ def q_decontaminate_ngram(spark, sf_dir):
         )
     import re as _re
 
-    ws = _re.compile("[ \t\n\x0b\f\r]+")
+    ws = _re.compile(_WS_CLASS)  # same pinned class, re-escape dialect
     n = _DECON_NGRAM_N
     evg: set[str] = set()
     for r in ev.collect():  # bounded by the byte budget above
@@ -1433,14 +1434,14 @@ WITH ev AS (
     AND length(substring(text, 11, 120)) >= 40),
 evt AS (
   SELECT list_filter(regexp_split_to_array(lower(snippet),
-           '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '') AS toks FROM ev),
+           '{_WS_CLASS}'), t -> t <> '') AS toks FROM ev),
 evg AS (
   SELECT DISTINCT array_to_string(toks[i:i+{_DECON_NGRAM_N - 1}], ' ') AS gram
   FROM evt,
        unnest(range(1, greatest(len(toks) - {_DECON_NGRAM_N - 2}, 1))) AS s(i)),
 dt AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
-           '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '') AS toks FROM documents),
+           '{_WS_CLASS}'), t -> t <> '') AS toks FROM documents),
 dg AS (
   SELECT DISTINCT doc_id,
          array_to_string(toks[i:i+{_DECON_NGRAM_N - 1}], ' ') AS gram

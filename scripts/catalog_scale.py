@@ -42,15 +42,22 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 PROTOCOL = "8m-splits-shm-noop-v1"
-_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-MULT = int(_pos[0]) if _pos else 10
 ONLY: set[str] = set()
-for _a in sys.argv[1:]:
+_pos: list[str] = []
+_argv = sys.argv[1:]
+while _argv:
+    _a = _argv.pop(0)
     if _a.startswith("--only"):
-        val = _a.split("=", 1)[1] if "=" in _a else ""
+        # both --only=q1,q2 and --only q1,q2
+        val = _a.split("=", 1)[1] if "=" in _a else (
+            _argv.pop(0) if _argv else ""
+        )
         if not val:
             raise SystemExit("usage: --only=q1,q2,...")
         ONLY = {q.strip() for q in val.split(",") if q.strip()}
+    else:
+        _pos.append(_a)
+MULT = int(_pos[0]) if _pos else 10
 SF01 = "/root/testdata/sf0.1"
 SYNTH = Path(f"/tmp/bmpp_sf_synth_x{MULT}")
 N_DOCS, N_VECS, DIM = 5_000 * MULT, 2_000 * MULT, 64

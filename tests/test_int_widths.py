@@ -73,6 +73,14 @@ BOUNDED_INT = {
     ("winnow_fingerprint", "n_fingerprints"): "bounded 512-char prefix",
     ("intradoc_dedup", "n_lines"): "per-document line count",
     ("intradoc_dedup", "n_unique_lines"): "per-document line count",
+    ("decontaminate", "n_eval_hits"): "bounded by the eval suite size",
+    ("decontaminate_ngram", "n_shared_grams"): "bounded by eval gram count",
+    ("multimodal_features", "width"): "per-asset pixel dimension",
+    ("multimodal_features", "height"): "per-asset pixel dimension",
+    ("multimodal_features", "sample_rate"): "audio format field",
+    ("stream_multimodal", "width"): "per-asset pixel dimension",
+    ("stream_multimodal", "height"): "per-asset pixel dimension",
+    ("stream_multimodal", "sample_rate"): "audio format field",
 }
 
 
@@ -121,7 +129,8 @@ def test_bounded_int_columns_documented(schemas, name, col):
     ["pack_sequences", "pack_sequences_global", "sessionize",
      "running_totals", "vocab_topk",
      "events_hourly", "score_partial", "token_count", "udtf_chunks",
-     "winnow_fingerprint", "intradoc_dedup"],
+     "winnow_fingerprint", "intradoc_dedup", "decontaminate",
+     "decontaminate_ngram", "multimodal_features"],
 )
 def test_no_undocumented_int_columns(schemas, name):
     """Every IntegerType column in the audited queries must carry a

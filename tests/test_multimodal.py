@@ -327,9 +327,15 @@ def test_fixture_matches_fresh_decode():
     row from the CURRENT decode functions and compare exactly —
     regenerate with scripts/gen_multimodal_fixture.py after any change
     to bmpp/multimodal.py."""
+    from pathlib import Path
+
     import pyarrow.parquet as pq
 
-    fix = pq.read_table("fixtures/multimodal_300.parquet").to_pylist()
+    fix = pq.read_table(
+        Path(__file__).resolve().parent.parent
+        / "fixtures"
+        / "multimodal_300.parquet"
+    ).to_pylist()
     assets = make_synthetic_assets(300)
     assert len(fix) == len(assets)
     for a, row in zip(assets, fix):
