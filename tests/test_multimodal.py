@@ -322,6 +322,35 @@ def test_feature_hash_survives_mixed_null_batches_exactly(spark):
     assert saw_null and saw_big, "test corpus no longer covers the failure mode"
 
 
+def test_stream_extract_multi_batch_equals_batch(spark, tmp_path_factory):
+    """The decode op is stateless, so draining the SAME assets in
+    many micro-batches (maxFilesPerTrigger=1 over a multi-file stage)
+    must produce exactly the batch output — no row lost, duplicated
+    or reordered-with-different-values across batch boundaries."""
+    from bmpp.streaming import _run_to_memory
+
+    d = tmp_path_factory.mktemp("mm_stream")
+    assets = make_synthetic_assets(90)
+    df = spark.createDataFrame(assets, schema=MEDIA_SCHEMA)
+    df.repartition(4).write.mode("overwrite").parquet(str(d))
+    src = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    got = {
+        r["asset_id"]: tuple(r)
+        for r in _run_to_memory(extract_image_features(src), "append").collect()
+    }
+    want = {
+        r["asset_id"]: tuple(r)
+        for r in extract_image_features(
+            spark.read.parquet(str(d))
+        ).collect()
+    }
+    assert got == want
+
+
 def test_fixture_matches_fresh_decode():
     """fixtures/multimodal_300.parquet staleness guard: re-derive every
     row from the CURRENT decode functions and compare exactly —
