@@ -2256,6 +2256,103 @@ def q_minhash_neardup(spark, sf_dir):
     return d.select("doc_id").join(cands, "doc_id", "left")
 
 
+_CC_MAX_ITERS = 20  # propagation rounds before the loud non-convergence error
+
+
+def q_neardup_components(spark, sf_dir):
+    """Near-duplicate CONNECTED COMPONENTS: transitive closure of the
+    LSH band-bucket relation via iterative min-label propagation — the
+    clustering step real dedup pipelines run after candidate flagging
+    (near_dup_of gives each doc its bucket rep; components give the
+    full transitive cluster, so A~B~C collapses to ONE group even when
+    A and C share no band). An ITERATIVE distributed algorithm with a
+    full DuckDB oracle: the recursive CTE re-derives the same closure
+    over the frozen band fixture.
+
+    Plan shape per round: star edges (member ↔ bucket min-rep, both
+    directions) joined to the current labels, then a min-agg — both
+    partial-agg-friendly, so token-level skew combines map-side. The
+    loop localCheckpoints each round (truncated lineage: round k reads
+    materialized round k-1, not a 2^k-deep plan) and stops as soon as
+    the label sum is stable (labels only ever decrease, so an
+    unchanged sum IS convergence, one scalar agg per round). Rounds
+    needed = graph diameter in star-edge hops — small for dedup
+    clusters; _CC_MAX_ITERS raises loudly rather than spinning. At
+    100 TB the same loop runs with the alternating large-star/
+    small-star optimization (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014) to shrink diameter
+    logarithmically; the per-round operators are identical."""
+    from .operators.dedup import dup_groups, salted_join
+    from .udfs import make_bands_udf
+
+    d = _t(spark, sf_dir, "documents")
+    bands_udf = make_bands_udf(64, 8, 5)
+    pairs = _eager_persist(  # shared with q_minhash_neardup
+        "minhash_neardup_pairs",
+        d.select("doc_id", F.explode(bands_udf(F.col("text"))).alias("band_hash")),
+    )
+    buckets = dup_groups(
+        pairs, "band_hash", "doc_id", _DEF_CFG.dedup_salt_buckets
+    ).select("band_hash", F.col("_rep").alias("rep"))
+    star = (
+        salted_join(
+            pairs, buckets, "band_hash", "doc_id",
+            salt=_DEF_CFG.join_salt_buckets,
+        )
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("doc_id").alias("src"), F.col("rep").alias("dst"))
+        .distinct()
+    )
+    und = star.union(
+        star.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    # the loop only touches docs that HAVE an edge (the candidate
+    # subgraph — a few % of the corpus); singletons are constant
+    # (component_id = doc_id) and union back in after convergence.
+    # At 100 TB this is what keeps the iteration cheap: rounds cost
+    # O(|edges|), never O(|corpus|).
+    labels = (
+        und.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+    for _ in range(_CC_MAX_ITERS):
+        prop = und.join(
+            labels, und["src"] == labels["doc_id"]
+        ).select(F.col("dst").alias("doc_id"), "component_id")
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+        if cur_sum == prev_sum:  # labels only decrease: stable sum = done
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"component labels did not converge in {_CC_MAX_ITERS} rounds "
+            "— bucket graph diameter exceeds the demo bound; run the "
+            "large-star/small-star variant"
+        )
+    singletons = (
+        d.select("doc_id")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("component_id", F.col("doc_id"))
+    )
+    full = labels.unionByName(singletons)
+    sizes = full.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return full.join(sizes, "component_id").select(
+        "doc_id", "component_id", "component_size"
+    )
+
+
 _MINHASH_FIXTURE = str(
     __import__("pathlib").Path(__file__).resolve().parent.parent
     / "fixtures"
@@ -2278,6 +2375,31 @@ cands AS (
 )
 SELECT d.doc_id, c.near_dup_of
 FROM documents d LEFT JOIN cands c USING (doc_id)
+"""
+
+SQL_NEARDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_id, band_hash FROM read_parquet('{_MINHASH_FIXTURE}')),
+buckets AS (
+  SELECT band_hash, min(doc_id) AS rep
+  FROM pairs GROUP BY band_hash HAVING count(*) > 1),
+edges AS (
+  SELECT DISTINCT p.doc_id AS src, b.rep AS dst
+  FROM pairs p JOIN buckets b USING (band_hash)
+  WHERE p.doc_id != b.rep),
+und AS (
+  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+reach(doc, lab) AS (
+  SELECT doc_id AS doc, doc_id AS lab FROM documents
+  UNION
+  SELECT u.dst AS doc, r.lab FROM reach r JOIN und u ON u.src = r.doc),
+comp AS (SELECT doc, min(lab) AS component_id FROM reach GROUP BY doc),
+sizes AS (
+  SELECT component_id, count(*) AS component_size FROM comp
+  GROUP BY component_id)
+SELECT c.doc AS doc_id, c.component_id,
+       CAST(s.component_size AS BIGINT) AS component_size
+FROM comp c JOIN sizes s USING (component_id)
 """
 
 
@@ -2751,18 +2873,21 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # round — while any query whose implementation changed, plus the
 # model-backed ones that missed the previous window, sit early.
 # Round 7 rotation: the 5 model-backed queries (untested r6) moved to
-# the front; 8 untouched relational queries green in r5+r6
+# the front; 9 untouched relational queries green in r5+r6
 # (pricing_summary, revenue_by_segment, customers_per_region,
 # top_orders_per_priority, semi_anti_join, events_hourly,
-# pivot_matrix, cube_rollup) rotated past the window (58 entries
-# total after decontaminate_ngram, pack_sequences_global and
-# stream_multimodal landed).
+# running_totals, pivot_matrix, cube_rollup) rotated past the window
+# (59 entries total after decontaminate_ngram, pack_sequences_global,
+# stream_multimodal and neardup_components landed).
 CATALOG: dict[str, tuple[Callable, str | None]] = {
     # model-backed (rotated to the front for round 7 — see policy above)
     # oracle via the frozen-model fixture (see q_langid)
     "langid_score": (q_langid, SQL_LANGID),
     # oracle re-derives LSH logic over the band fixture
     "minhash_neardup": (q_minhash_neardup, SQL_MINHASH_NEARDUP),
+    # iterative min-label propagation with a recursive-CTE oracle
+    # over the same band fixture
+    "neardup_components": (q_neardup_components, SQL_NEARDUP_COMPONENTS),
     # full DuckDB oracles (simhash spec is dialect-portable;
     # multimodal output frozen as a fixture)
     "simhash": (q_simhash, SQL_SIMHASH),
@@ -2784,7 +2909,6 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "collect_by_group": (q_collect_by_group, SQL_COLLECT_BY_GROUP),
     # relational breadth (§2.2)
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
     # sketch outputs frozen as a fixture (deterministic: merge order
     # pinned — see q_approx_aggs docstring); exact half checked live
     "approx_aggs": (q_approx_aggs, SQL_APPROX_AGGS),
@@ -2824,7 +2948,7 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "stream_dedup_counts": (q_stream_dedup_counts, SQL_STREAM_DEDUP_COUNTS),
     "stream_exact_dedup": (q_stream_exact_dedup, SQL_STREAM_EXACT_DEDUP),
     "stream_quality_filter": (q_stream_quality_filter, SQL_STREAM_QUALITY),
-    # ---- past the 50-entry driver window (round-7 rotation): 8
+    # ---- past the 50-entry driver window (round-7 rotation): 9
     # stable relational queries, green in r5 AND r6, code untouched
     # this round; still verified every round by the local replica
     # (tests/test_driver_contract.py runs ALL entries) ----
@@ -2834,6 +2958,7 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "top_orders_per_priority": (q_top_orders_per_priority, SQL_TOP_ORDERS_PER_PRIORITY),
     "semi_anti_join": (q_semi_anti_join, SQL_SEMI_ANTI_JOIN),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
     "pivot_matrix": (q_pivot, SQL_PIVOT),
     "cube_rollup": (q_cube_rollup, SQL_CUBE_ROLLUP),
 }

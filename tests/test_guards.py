@@ -117,6 +117,40 @@ def test_decontaminate_ngram_self_containment(spark):
     )
 
 
+def test_neardup_components_transitive_and_minimal(spark):
+    """Semantics independent of the oracle: (1) every flagged doc
+    shares a component with its near_dup_of rep (clustering subsumes
+    flagging); (2) each component_id is the min doc_id among its
+    members; (3) component_size is consistent with the actual member
+    count."""
+    from collections import Counter
+
+    from bmpp.queries import q_minhash_neardup, q_neardup_components
+
+    sf = "/root/testdata/sf0.01"
+    comp = {
+        r["doc_id"]: (r["component_id"], r["component_size"])
+        for r in q_neardup_components(spark, sf).collect()
+    }
+    flags = {
+        r["doc_id"]: r["near_dup_of"]
+        for r in q_minhash_neardup(spark, sf).collect()
+    }
+    assert set(comp) == set(flags)
+    for doc, rep in flags.items():
+        if rep is not None:
+            assert comp[doc][0] == comp[rep][0], (doc, rep)
+    members: dict[int, list[int]] = {}
+    for doc, (cid, _) in comp.items():
+        members.setdefault(cid, []).append(doc)
+    for cid, docs in members.items():
+        assert cid == min(docs), f"component {cid} label not minimal"
+    sizes = Counter(cid for cid, _ in comp.values())
+    for doc, (cid, size) in comp.items():
+        assert size == sizes[cid], (doc, cid)
+    assert any(s > 1 for _, s in comp.values()), "no multi-doc components"
+
+
 def test_two_phase_packing_equals_window_form(spark):
     """pack_sequences_global (range shuffle + local Arrow prefix +
     driver exclusive scan) must reproduce the window form's rows
