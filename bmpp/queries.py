@@ -2269,19 +2269,21 @@ def q_neardup_components(spark, sf_dir):
     full DuckDB oracle: the recursive CTE re-derives the same closure
     over the frozen band fixture.
 
-    Plan shape per round: star edges (member ↔ bucket min-rep, both
-    directions) joined to the current labels, then a min-agg — both
-    partial-agg-friendly, so token-level skew combines map-side. The
-    loop localCheckpoints each round (truncated lineage: round k reads
-    materialized round k-1, not a 2^k-deep plan) and stops as soon as
-    the label sum is stable (labels only ever decrease, so an
-    unchanged sum IS convergence, one scalar agg per round). Rounds
-    needed = graph diameter in star-edge hops — small for dedup
-    clusters; _CC_MAX_ITERS raises loudly rather than spinning. At
-    100 TB the same loop runs with the alternating large-star/
-    small-star optimization (Kiveris et al., "Connected Components in
-    MapReduce and Beyond", SoCC 2014) to shrink diameter
-    logarithmically; the per-round operators are identical."""
+    Plan shape per round: (a) star edges (member ↔ bucket min-rep,
+    both directions) joined to the current labels, then a min-agg —
+    partial-agg-friendly, so skew combines map-side; (b) a
+    pointer-jumping self-join (follow the label's own label) that
+    halves chain depth, so convergence is O(log diameter) rounds —
+    the same idea as large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014); plain
+    one-hop propagation measurably failed to converge in 20 rounds on
+    the 10× synthetic corpus's near-dup chains. The loop runs only
+    over docs that HAVE an edge (singletons union back in at the
+    end), localCheckpoints each round (truncated lineage: round k
+    reads materialized round k-1, not a 2^k-deep plan), and stops as
+    soon as the label sum is stable (labels only ever decrease, so an
+    unchanged sum IS convergence, one scalar agg per round);
+    _CC_MAX_ITERS raises loudly rather than spinning."""
     from .operators.dedup import dup_groups, salted_join
     from .udfs import make_bands_udf
 
@@ -2320,13 +2322,35 @@ def q_neardup_components(spark, sf_dir):
     )
     prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]
     for _ in range(_CC_MAX_ITERS):
+        # (a) propagate: min label across star edges
         prop = und.join(
             labels, und["src"] == labels["doc_id"]
         ).select(F.col("dst").alias("doc_id"), "component_id")
-        labels = (
+        stepped = (
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("component_id").alias("component_id"))
+        )
+        # (b) pointer-jump (path halving): follow the label's OWN
+        # label — every label is the id of an active doc in the same
+        # component, so composing the mapping with itself halves
+        # chain depth each round. Edge propagation alone walks one
+        # hop per round (O(diameter) — measured non-convergent on the
+        # 10× near-dup chains); with the shortcut the loop converges
+        # in O(log diameter) rounds, the same reason large-star/
+        # small-star scales.
+        parent = stepped.select(
+            F.col("doc_id").alias("_p_doc"),
+            F.col("component_id").alias("_p_comp"),
+        )
+        labels = (
+            stepped.join(
+                parent, stepped["component_id"] == parent["_p_doc"], "left"
+            )
+            .select(
+                "doc_id",
+                F.coalesce("_p_comp", "component_id").alias("component_id"),
+            )
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("component_id")).collect()[0][0]
@@ -2335,9 +2359,9 @@ def q_neardup_components(spark, sf_dir):
         prev_sum = cur_sum
     else:
         raise RuntimeError(
-            f"component labels did not converge in {_CC_MAX_ITERS} rounds "
-            "— bucket graph diameter exceeds the demo bound; run the "
-            "large-star/small-star variant"
+            f"component labels did not converge in {_CC_MAX_ITERS} "
+            "pointer-jumping rounds (diameter > 2^20 star hops) — "
+            "inspect the bucket graph"
         )
     singletons = (
         d.select("doc_id")

@@ -50,6 +50,8 @@ MUST_BE_LONG = [
     ("score_gather", "sum_chars"),
     ("collect_by_group", "n_docs"),
     ("collect_by_group", "n_langs"),
+    ("neardup_components", "component_id"),
+    ("neardup_components", "component_size"),
     ("stream_dedup_counts", "rows_total"),
     ("stream_dedup_counts", "distinct_total"),
     ("stream_dedup_counts", "dups_total"),
