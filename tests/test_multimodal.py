@@ -1,6 +1,8 @@
 """Multimodal binary-column plumbing and the in-sandbox real decoders:
-BMP pixel arrays and PCM WAV samples decode for real (struct/numpy);
-PNG/JPEG stay the documented codec boundary with errors-as-columns.
+BMP/PNG pixel arrays and PCM WAV samples decode for real
+(struct/zlib/numpy); JPEG headers and MP4 containers parse for real
+(dims/duration), with only their entropy payloads — plus exotic
+format variants — behind the documented boundary, errors-as-columns.
 Staleness guard for fixtures/multimodal_300.parquet: the driver
 contract replica (test_driver_contract) value-hashes the live Spark
 output against the fixture-backed oracle, and
@@ -216,11 +218,71 @@ def test_decode_wav_rejects_corrupt_and_unsupported():
         decode_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
 
 
+def test_parse_jpeg_exact_and_rejects():
+    from bmpp.multimodal import encode_jpeg, parse_jpeg
+
+    # hand-built: dims come from the SOF0 segment, nothing else
+    d = parse_jpeg(encode_jpeg(321, 654, entropy=b"\xff\x00\x12"))
+    assert (d["width"], d["height"]) == (321, 654)
+    # progressive (SOF2) frames carry dims the same way
+    blob = encode_jpeg(40, 30)
+    blob = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert parse_jpeg(blob) == {"width": 40, "height": 30}
+    # EOI before any SOF → no dims to report
+    with pytest.raises(ValueError, match="no JPEG SOF"):
+        parse_jpeg(b"\xff\xd8\xff\xd9")
+    # segment length running past the blob
+    with pytest.raises(ValueError, match="truncated JPEG segment"):
+        parse_jpeg(b"\xff\xd8\xff\xe0\xff\xff")
+    # non-marker garbage where a marker must sit
+    with pytest.raises(ValueError, match="misaligned"):
+        parse_jpeg(b"\xff\xd8\xff\xe0\x00\x04\x00\x00" + b"ab")
+    with pytest.raises(ValueError, match="bad JPEG dimensions"):
+        parse_jpeg(encode_jpeg(0, 7))
+
+
+def test_parse_mp4_exact_and_rejects():
+    import struct as st
+
+    from bmpp.multimodal import _mp4_box, encode_mp4, parse_mp4
+
+    d = parse_mp4(encode_mp4(1280, 720, 59.94, timescale=90000))
+    assert (d["width"], d["height"]) == (1280, 720)
+    assert d["duration_sec"] == pytest.approx(59.94, abs=1e-4)
+    # v1 mvhd (64-bit times) — hand-built, audio-only (no tkhd dims)
+    mvhd_v1 = (
+        b"\x01" + bytes(3) + bytes(16)
+        + st.pack(">IQ", 600, 3000)  # timescale 600, duration 3000
+        + bytes(80)
+    )
+    blob = (
+        _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00")
+        + _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd_v1))
+    )
+    d = parse_mp4(blob)
+    assert d["duration_sec"] == pytest.approx(5.0)
+    assert "width" not in d  # audio-only: no track dimensions
+    with pytest.raises(ValueError, match="missing ftyp"):
+        parse_mp4(b"\x00" * 16)
+    with pytest.raises(ValueError, match="no MP4 moov"):
+        parse_mp4(_mp4_box(b"ftyp", b"isom") + _mp4_box(b"free", b""))
+    # box claiming to extend past the blob
+    with pytest.raises(ValueError, match="bad MP4 box size"):
+        parse_mp4(_mp4_box(b"ftyp", b"isom") + st.pack(">I", 4096) + b"moov")
+    with pytest.raises(ValueError, match="timescale 0"):
+        mvhd0 = bytes(4) + bytes(8) + st.pack(">II", 0, 100) + bytes(80)
+        parse_mp4(
+            _mp4_box(b"ftyp", b"isom")
+            + _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd0))
+        )
+
+
 def test_extract_features_real_decode_and_error_isolation(spark, assets_df):
     """The distributed op must agree row-for-row with a direct local
     decode_media call, and the asset mix must keep exercising every
-    path: real BMP, real PNG (incl. pixel dims from actual decode),
-    real WAV, and isolated errors (jpeg/interlaced-png/corrupt-bmp)."""
+    path: real BMP/PNG pixel decode, real WAV sample decode, real
+    JPEG-header and MP4-container parses, and isolated errors
+    (interlaced-png / corrupt bmp-jpeg-mp4)."""
     out = extract_image_features(assets_df).collect()
     assert len(out) == 200
     by_id = {r["asset_id"]: r for r in out}
@@ -239,18 +301,26 @@ def test_extract_features_real_decode_and_error_isolation(spark, assets_df):
             saw.add("err")
             continue
         assert r["decode_error"] is None
-        assert 0.0 <= r["mean_intensity"] <= 1.0
-        if codec in ("bmp", "png"):  # real pixel decode inside the UDF
+        if codec in ("bmp", "png", "jpeg", "mp4"):
             assert (r["width"], r["height"]) == (
                 a["meta"]["width"], a["meta"]["height"]
             )
             saw.add(codec)
-        else:  # real sample decode
-            assert codec == "wav"
+        if codec in ("bmp", "png"):  # real pixel decode inside the UDF
+            assert 0.0 <= r["mean_intensity"] <= 1.0
+        elif codec == "wav":  # real sample decode
             assert r["sample_rate"] in (8000, 16000)
             assert r["duration_sec"] > 0
+            assert 0.0 <= r["mean_intensity"] <= 1.0
             saw.add("wav")
-    assert saw == {"bmp", "png", "wav", "err"}, "asset mix lost a decode path"
+        else:  # jpeg/mp4: header/container parse only — the signal
+            # that the entropy payload stayed undecoded is the NULL
+            assert r["mean_intensity"] is None
+            if codec == "mp4":
+                assert r["duration_sec"] > 0
+    assert saw == {"bmp", "png", "wav", "jpeg", "mp4", "err"}, (
+        "asset mix lost a decode path"
+    )
 
 
 def test_frame_sample_plan(spark):
