@@ -2216,6 +2216,58 @@ def q_stream_multimodal(spark, sf_dir):
 
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video frame sampling driven by REAL parsed MP4 durations: the
+    mapInPandas decode op (one Arrow pass) parses each container's
+    mvhd duration for real (bmpp.multimodal.parse_mp4), then the
+    frame-index fan-out is pure JVM — floor(duration x 10 fps) frames,
+    every 7th sampled via explode(sequence(...)) — so a corrupt
+    container costs one error row, never a task, and the expansion
+    adds NO shuffle (rows stay in their scan partitions until a
+    downstream op needs one). The per-frame decode itself is the
+    documented sandbox codec boundary.
+
+    Cross-engine hash note: n_frames = floor(duration_sec * 10) runs
+    the same two IEEE-double ops on the same fixture-stored double in
+    Spark and DuckDB, so both engines produce bit-identical longs —
+    no raw-double column reaches the output (n_frames/frame_idx are
+    longs)."""
+    from .multimodal import MEDIA_SCHEMA, extract_image_features, make_synthetic_assets
+
+    df = spark.createDataFrame(make_synthetic_assets(300), schema=MEDIA_SCHEMA)
+    feats = extract_image_features(df)
+    return (
+        feats.filter((F.col("codec") == "mp4") & F.col("decode_error").isNull())
+        .withColumn("n_frames", F.floor(F.col("duration_sec") * 10))
+        .filter(F.col("n_frames") > 0)
+        .withColumn(
+            "frame_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.col("n_frames") - 1,
+                    F.lit(7).cast("long"),
+                )
+            ),
+        )
+        .select("asset_id", "n_frames", "frame_idx")
+    )
+
+
+SQL_FRAME_SAMPLE = f"""
+WITH v AS (
+    SELECT asset_id,
+           CAST(floor(duration_sec * 10) AS BIGINT) AS n_frames
+    FROM read_parquet('{_MULTIMODAL_FIXTURE}')
+    WHERE codec = 'mp4' AND decode_error IS NULL
+)
+SELECT asset_id, n_frames,
+       unnest(range(0, n_frames, 7)) AS frame_idx
+FROM v
+WHERE n_frames > 0
+"""
+
+
 def q_minhash_neardup(spark, sf_dir):
     """MinHash-LSH near-dup marking over documents. Exactness vs the
     pure-Python oracle on the planted corpus is covered by
@@ -2899,12 +2951,13 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # round — while any query whose implementation changed, plus the
 # model-backed ones that missed the previous window, sit early.
 # Round 7 rotation: the 5 model-backed queries (untested r6) moved to
-# the front; 9 untouched relational queries green in r5+r6
+# the front; 10 untouched relational queries green in r5+r6
 # (pricing_summary, revenue_by_segment, customers_per_region,
 # top_orders_per_priority, semi_anti_join, events_hourly,
-# running_totals, pivot_matrix, cube_rollup) rotated past the window
-# (59 entries total after decontaminate_ngram, pack_sequences_global,
-# stream_multimodal and neardup_components landed).
+# running_totals, pivot_matrix, cube_rollup, csv_json_roundtrip)
+# rotated past the window (60 entries total after decontaminate_ngram,
+# pack_sequences_global, stream_multimodal, neardup_components and
+# frame_sample landed).
 CATALOG: dict[str, tuple[Callable, str | None]] = {
     # model-backed (rotated to the front for round 7 — see policy above)
     # oracle via the frozen-model fixture (see q_langid)
@@ -2921,6 +2974,8 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     # same decode op on the streaming engine, same fixture oracle
     "stream_multimodal": (q_stream_multimodal, SQL_MULTIMODAL),
+    # frame fan-out over the real parsed MP4 durations, same fixture
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     # pipeline operators (SURVEY.md §2.1 #2-#13)
     "filter_heuristics": (q_filter_heuristics, SQL_FILTER_HEURISTICS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
@@ -2963,8 +3018,6 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
-    # sources/sinks
-    "csv_json_roundtrip": (q_csv_json_roundtrip, SQL_CSV_JSON_ROUNDTRIP),
     # streaming
     "stream_hourly": (q_stream_hourly, SQL_STREAM_HOURLY),
     "stream_neardup": (q_stream_neardup, SQL_MINHASH_NEARDUP),
@@ -2974,10 +3027,11 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "stream_dedup_counts": (q_stream_dedup_counts, SQL_STREAM_DEDUP_COUNTS),
     "stream_exact_dedup": (q_stream_exact_dedup, SQL_STREAM_EXACT_DEDUP),
     "stream_quality_filter": (q_stream_quality_filter, SQL_STREAM_QUALITY),
-    # ---- past the 50-entry driver window (round-7 rotation): 9
-    # stable relational queries, green in r5 AND r6, code untouched
-    # this round; still verified every round by the local replica
-    # (tests/test_driver_contract.py runs ALL entries) ----
+    # ---- past the 50-entry driver window (round-7 rotation): 10
+    # stable relational/source queries, green in r5 AND r6, code
+    # untouched this round; still verified every round by the local
+    # replica (tests/test_driver_contract.py runs ALL entries) ----
+    "csv_json_roundtrip": (q_csv_json_roundtrip, SQL_CSV_JSON_ROUNDTRIP),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_by_segment": (q_revenue_by_segment, SQL_REVENUE_BY_SEGMENT),
     "customers_per_region": (q_customers_per_region, SQL_CUSTOMERS_PER_REGION),

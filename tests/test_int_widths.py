@@ -52,6 +52,8 @@ MUST_BE_LONG = [
     ("collect_by_group", "n_langs"),
     ("neardup_components", "component_id"),
     ("neardup_components", "component_size"),
+    ("frame_sample", "n_frames"),
+    ("frame_sample", "frame_idx"),
     ("stream_dedup_counts", "rows_total"),
     ("stream_dedup_counts", "distinct_total"),
     ("stream_dedup_counts", "dups_total"),
