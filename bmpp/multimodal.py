@@ -27,6 +27,11 @@ Decode status per codec (round 7 — VERDICT r6 item 4):
 - **unknown / corrupt**: documented sandbox boundary — they surface
   ``decode_error`` and never kill a task.
 
+Decoded images (BMP/PNG) additionally carry ``ahash`` — a 64-bit
+average perceptual hash over the REAL pixels (8x8 nearest-neighbor
+resize + mean threshold): encoding-invariant visual dedup where the
+sha256 ``feature_hash`` only catches byte-identical blobs.
+
 Schema convention (one row = one asset):
   asset_id: long, kind: string ('image'|'audio'|'video'),
   media: binary, meta: struct<width:int, height:int, codec:string>
@@ -77,6 +82,25 @@ def png_dimensions(blob: bytes) -> tuple[int, int] | None:
 
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def _ahash64(gray: np.ndarray) -> int:
+    """Average-hash over a REAL decoded grayscale matrix: 8x8
+    nearest-neighbor resize (floor((i+0.5)*h/8) source sampling — the
+    classic aHash construction), threshold each cell at the resized
+    mean, pack row-major MSB-first into a signed int64. Two images
+    with the same pixels hash identically regardless of byte-level
+    encoding (filters, padding, container), which is exactly what
+    byte-hash dedup (feature_hash) cannot see."""
+    h, w = gray.shape
+    ys = ((np.arange(8) + 0.5) * h / 8).astype(np.int64)
+    xs = ((np.arange(8) + 0.5) * w / 8).astype(np.int64)
+    small = gray[np.ix_(ys, xs)].astype(np.float64)
+    bits = (small >= small.mean()).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
 
 
 def decode_png(blob: bytes) -> dict:
@@ -154,10 +178,15 @@ def decode_png(blob: bytes) -> dict:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur
         prev = cur
+    # perceptual hash over the color samples only (alpha excluded:
+    # gray+alpha has 1 color channel, RGBA has 3)
+    n_color = 1 if color in (0, 4) else 3
+    gray = out.reshape(h, w, ch)[:, :, :n_color].mean(axis=2)
     return {
         "width": int(w),
         "height": int(h),
         "mean_intensity": float(out.mean()) / 255.0,
+        "ahash": _ahash64(gray),
     }
 
 
@@ -195,10 +224,14 @@ def decode_bmp(blob: bytes) -> dict:
         raise ValueError("truncated BMP pixel array")
     px = np.frombuffer(blob, np.uint8, stride * rows, px_off)
     px = px.reshape(rows, stride)[:, : w * 3]  # drop stride padding
+    gray = px.reshape(rows, w, 3).mean(axis=2)
+    if h > 0:  # positive height = bottom-up rows; hash top-down order
+        gray = gray[::-1]
     return {
         "width": w,
         "height": rows,
         "mean_intensity": float(px.mean()) / 255.0,
+        "ahash": _ahash64(gray),
     }
 
 
@@ -496,25 +529,39 @@ def make_synthetic_assets(n: int, seed: int = 42) -> list[dict]:
     for real, PNG filter types 0/1/2 all represented), real-header
     JPEGs and real-container MP4s (dimensions/duration parsed for
     real, entropy payload the documented boundary), an interlaced PNG
-    (boundary), plus truncated-BMP / SOF-less-JPEG / truncated-MP4
-    rows (error isolation). Pure function of (seed, i)."""
+    (boundary), planted VISUAL-duplicate BMP pairs (same pixels,
+    different reserved header bytes — ahash-equal, sha256-distinct),
+    plus truncated-BMP / SOF-less-JPEG / truncated-MP4 rows (error
+    isolation). Pure function of (seed, i)."""
     import random
+
+    def _bmp_blob(rng):
+        w, h = rng.randint(2, 24), rng.randint(2, 24)
+        stride = (w * 3 + 3) & ~3
+        px = bytes(rng.randrange(256) for _ in range(stride * h))
+        hdr = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                          2835, 2835, 0, 0)
+        )
+        return hdr + px, w, h
 
     out = []
     for i in range(n):
         rng = random.Random(f"asset:{seed}:{i}")
         roll = i % 10
         if roll < 3:  # real decodable BMP
-            w, h = rng.randint(2, 24), rng.randint(2, 24)
-            stride = (w * 3 + 3) & ~3
-            px = bytes(rng.randrange(256) for _ in range(stride * h))
-            hdr = (
-                b"BM"
-                + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
-                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
-                              2835, 2835, 0, 0)
-            )
-            blob, kind, codec, mw, mh = hdr + px, "image", "bmp", w, h
+            if i % 30 == 20:  # partner i-10 is always an earlier BMP row
+                # planted VISUAL duplicate of asset i-10: identical
+                # pixels, but the ignored reserved header bytes differ
+                # so sha256 (feature_hash) misses the dup while the
+                # perceptual ahash catches it
+                blob, w, h = _bmp_blob(random.Random(f"asset:{seed}:{i - 10}"))
+                blob = blob[:6] + b"\x01\x00\x00\x00" + blob[10:]
+            else:
+                blob, w, h = _bmp_blob(rng)
+            kind, codec, mw, mh = "image", "bmp", w, h
         elif roll < 5:  # real decodable PCM-16 WAV
             rate = rng.choice((8000, 16000))
             nsamp = rng.randint(64, 512)
@@ -579,7 +626,7 @@ def make_synthetic_assets(n: int, seed: int = 42) -> list[dict]:
 MEDIA_FEATURES_SCHEMA = (
     "asset_id long, codec string, width int, height int, "
     "sample_rate int, duration_sec double, mean_intensity double, "
-    "feature_hash long, decode_error string"
+    "feature_hash long, ahash long, decode_error string"
 )
 # former name, kept for callers of the image-era schema constant
 IMAGE_FEATURES_SCHEMA = MEDIA_FEATURES_SCHEMA
@@ -597,7 +644,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                 for k in (
                     "asset_id", "codec", "width", "height", "sample_rate",
                     "duration_sec", "mean_intensity", "feature_hash",
-                    "decode_error",
+                    "ahash", "decode_error",
                 )
             }
             for aid, blob in zip(pdf["asset_id"], pdf["media"]):
@@ -615,6 +662,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                 cols["duration_sec"].append(d.get("duration_sec"))
                 cols["mean_intensity"].append(d.get("mean_intensity"))
                 cols["feature_hash"].append(d.get("feature_hash"))
+                cols["ahash"].append(d.get("ahash"))
                 cols["decode_error"].append(err)
             # NULLABLE extension dtypes, not object columns: a mixed
             # int/None column built row-wise coerces through float64,
@@ -635,6 +683,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                         cols["mean_intensity"], dtype="Float64"
                     ),
                     "feature_hash": pd.array(cols["feature_hash"], dtype="Int64"),
+                    "ahash": pd.array(cols["ahash"], dtype="Int64"),
                     "decode_error": cols["decode_error"],
                 }
             )

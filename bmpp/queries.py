@@ -2182,8 +2182,42 @@ _MULTIMODAL_FIXTURE = str(
 
 SQL_MULTIMODAL = f"""
 SELECT asset_id, codec, width, height, sample_rate, duration_sec,
-       mean_intensity, feature_hash, decode_error
+       mean_intensity, feature_hash, ahash, decode_error
 FROM read_parquet('{_MULTIMODAL_FIXTURE}')
+"""
+
+
+def q_image_ahash(spark, sf_dir):
+    """Perceptual-hash image dedup over REALLY-decoded pixels: the
+    decode op computes each BMP/PNG's 64-bit average hash (8x8
+    nearest-neighbor resize of the true grayscale matrix + mean
+    threshold — bmpp.multimodal._ahash64), then a window over the
+    hash counts visually-identical assets. The corpus plants BMP
+    pairs with IDENTICAL pixels but different reserved header bytes:
+    sha256 (feature_hash) cannot see those dups; ahash catches all of
+    them (dup_count=2 rows below).
+
+    Scale shape: one Arrow decode pass, then a single shuffle on the
+    64-bit hash — bucket sizes are true visual-dup cluster sizes, so
+    skew is bounded by real duplication (the hot-group cap operator
+    is the documented escape for pathological media farms); a
+    hamming-tolerant variant reuses the simhash 16-bit-chunk LSH
+    machinery (operators/simhash.py) unchanged, since ahash and
+    simhash are both 64-bit fingerprints."""
+    from .multimodal import MEDIA_SCHEMA, extract_image_features, make_synthetic_assets
+
+    df = spark.createDataFrame(make_synthetic_assets(300), schema=MEDIA_SCHEMA)
+    imgs = extract_image_features(df).filter(F.col("ahash").isNotNull())
+    w = W.partitionBy("ahash")
+    return imgs.select(
+        "asset_id", "ahash", F.count(F.lit(1)).over(w).alias("dup_count")
+    )
+
+
+SQL_IMAGE_AHASH = f"""
+SELECT asset_id, ahash, COUNT(*) OVER (PARTITION BY ahash) AS dup_count
+FROM read_parquet('{_MULTIMODAL_FIXTURE}')
+WHERE ahash IS NOT NULL
 """
 
 
@@ -2951,13 +2985,13 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # round — while any query whose implementation changed, plus the
 # model-backed ones that missed the previous window, sit early.
 # Round 7 rotation: the 5 model-backed queries (untested r6) moved to
-# the front; 10 untouched relational queries green in r5+r6
+# the front; 11 untouched relational/source queries green in r5+r6
 # (pricing_summary, revenue_by_segment, customers_per_region,
 # top_orders_per_priority, semi_anti_join, events_hourly,
-# running_totals, pivot_matrix, cube_rollup, csv_json_roundtrip)
-# rotated past the window (60 entries total after decontaminate_ngram,
-# pack_sequences_global, stream_multimodal, neardup_components and
-# frame_sample landed).
+# running_totals, pivot_matrix, cube_rollup, csv_json_roundtrip,
+# set_ops) rotated past the window (61 entries total after
+# decontaminate_ngram, pack_sequences_global, stream_multimodal,
+# neardup_components, frame_sample and image_ahash landed).
 CATALOG: dict[str, tuple[Callable, str | None]] = {
     # model-backed (rotated to the front for round 7 — see policy above)
     # oracle via the frozen-model fixture (see q_langid)
@@ -2976,6 +3010,8 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "stream_multimodal": (q_stream_multimodal, SQL_MULTIMODAL),
     # frame fan-out over the real parsed MP4 durations, same fixture
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    # perceptual-hash dedup over really-decoded pixels, same fixture
+    "image_ahash": (q_image_ahash, SQL_IMAGE_AHASH),
     # pipeline operators (SURVEY.md §2.1 #2-#13)
     "filter_heuristics": (q_filter_heuristics, SQL_FILTER_HEURISTICS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
@@ -3016,7 +3052,6 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "ivf_ann_topk": (q_ivf_ann_topk, SQL_ANN_TOPK),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
-    "set_ops": (q_set_ops, SQL_SET_OPS),
     "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     # streaming
     "stream_hourly": (q_stream_hourly, SQL_STREAM_HOURLY),
@@ -3027,10 +3062,11 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "stream_dedup_counts": (q_stream_dedup_counts, SQL_STREAM_DEDUP_COUNTS),
     "stream_exact_dedup": (q_stream_exact_dedup, SQL_STREAM_EXACT_DEDUP),
     "stream_quality_filter": (q_stream_quality_filter, SQL_STREAM_QUALITY),
-    # ---- past the 50-entry driver window (round-7 rotation): 10
+    # ---- past the 50-entry driver window (round-7 rotation): 11
     # stable relational/source queries, green in r5 AND r6, code
     # untouched this round; still verified every round by the local
     # replica (tests/test_driver_contract.py runs ALL entries) ----
+    "set_ops": (q_set_ops, SQL_SET_OPS),
     "csv_json_roundtrip": (q_csv_json_roundtrip, SQL_CSV_JSON_ROUNDTRIP),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_by_segment": (q_revenue_by_segment, SQL_REVENUE_BY_SEGMENT),

@@ -53,7 +53,8 @@ def main() -> None:
         rows.append(
             (a["asset_id"], codec, d.get("width"), d.get("height"),
              d.get("sample_rate"), d.get("duration_sec"),
-             d.get("mean_intensity"), d.get("feature_hash"), err)
+             d.get("mean_intensity"), d.get("feature_hash"),
+             d.get("ahash"), err)
         )
     cols = list(zip(*rows))
     table = pa.table(
@@ -66,7 +67,8 @@ def main() -> None:
             "duration_sec": pa.array(cols[5], type=pa.float64()),
             "mean_intensity": pa.array(cols[6], type=pa.float64()),
             "feature_hash": pa.array(cols[7], type=pa.int64()),
-            "decode_error": pa.array(cols[8], type=pa.string()),
+            "ahash": pa.array(cols[8], type=pa.int64()),
+            "decode_error": pa.array(cols[9], type=pa.string()),
         }
     )
     OUT.parent.mkdir(exist_ok=True)

@@ -218,6 +218,57 @@ def test_decode_wav_rejects_corrupt_and_unsupported():
         decode_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
 
 
+def test_ahash_exact_and_orientation_invariant():
+    """aHash construction pinned on a hand-built gradient (dark half
+    → 0-bits, bright half → 1-bits), and a bottom-up BMP must hash
+    identically to the top-down BMP of the same image."""
+    import numpy as np
+
+    from bmpp.multimodal import _ahash64, decode_bmp
+
+    grad = np.zeros((16, 16))
+    grad[:, 8:] = 255.0  # right half bright
+    assert _ahash64(grad) == _signed64(0x0F0F0F0F0F0F0F0F)
+    # bottom-up (h>0) vs top-down (h<0) of the same pixels
+    w, h = 4, 4
+    rows_topdown = [bytes([(10 + 16 * y + x) % 256 for x in range(w * 3)])
+                    for y in range(h)]
+
+    def bmp(rows, signed_h):
+        px = b"".join(rows)
+        return (
+            b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, signed_h, 1, 24, 0,
+                          len(px), 0, 0, 0, 0)
+            + px
+        )
+
+    d_up = decode_bmp(bmp(rows_topdown[::-1], h))  # bottom-up storage
+    d_down = decode_bmp(bmp(rows_topdown, -h))  # top-down storage
+    assert d_up["ahash"] == d_down["ahash"]
+    assert d_up["mean_intensity"] == d_down["mean_intensity"]
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_planted_visual_dups_caught_by_ahash_not_sha():
+    """The corpus plants BMP pairs with identical pixels but different
+    reserved header bytes: feature_hash (sha256 of the blob) MUST
+    differ while ahash MUST collide — the whole point of perceptual
+    dedup."""
+    assets = {a["asset_id"]: a for a in make_synthetic_assets(300)}
+    pairs = [(i - 10, i) for i in range(300) if i % 30 == 20]
+    assert len(pairs) == 10
+    for p, q in pairs:
+        dp = decode_media(bytes(assets[p]["media"]))
+        dq = decode_media(bytes(assets[q]["media"]))
+        assert dp["ahash"] == dq["ahash"], (p, q)
+        assert dp["feature_hash"] != dq["feature_hash"], (p, q)
+        assert dp["mean_intensity"] == dq["mean_intensity"], (p, q)
+
+
 def test_parse_jpeg_exact_and_rejects():
     from bmpp.multimodal import encode_jpeg, parse_jpeg
 
@@ -447,7 +498,7 @@ def test_fixture_matches_fresh_decode():
         assert row["asset_id"] == a["asset_id"]
         assert row["codec"] == sniff_codec(blob)
         assert row["decode_error"] == err, f"asset {a['asset_id']} stale"
-        for k in ("width", "height", "sample_rate", "feature_hash"):
+        for k in ("width", "height", "sample_rate", "feature_hash", "ahash"):
             assert row[k] == d.get(k), f"asset {a['asset_id']} {k} stale"
         for k in ("duration_sec", "mean_intensity"):
             want = d.get(k)
