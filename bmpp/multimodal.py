@@ -27,10 +27,12 @@ Decode status per codec (round 7 — VERDICT r6 item 4):
 - **unknown / corrupt**: documented sandbox boundary — they surface
   ``decode_error`` and never kill a task.
 
-Decoded images (BMP/PNG) additionally carry ``ahash`` — a 64-bit
-average perceptual hash over the REAL pixels (8x8 nearest-neighbor
-resize + mean threshold): encoding-invariant visual dedup where the
-sha256 ``feature_hash`` only catches byte-identical blobs.
+Decoded media additionally carry ``ahash`` — a 64-bit average
+perceptual hash over the REAL content: images via 8x8
+nearest-neighbor resize of the true grayscale + mean threshold,
+audio via a 64-segment energy envelope of the true PCM samples.
+Encoding-invariant dedup where the sha256 ``feature_hash`` only
+catches byte-identical blobs.
 
 Schema convention (one row = one asset):
   asset_id: long, kind: string ('image'|'audio'|'video'),
@@ -281,11 +283,26 @@ def decode_wav(blob: bytes) -> dict:
             else 0.0
         )
     frames = len(samples) // channels
-    return {
+    # perceptual hash over the REAL decoded samples: mono-mix, 64
+    # equal-time energy-envelope segments, threshold at the envelope
+    # mean — same-audio-different-container blobs collide here while
+    # the byte hash (feature_hash) sees distinct blobs
+    out = {
         "sample_rate": int(rate),
         "duration_sec": frames / rate,
         "mean_intensity": amp,
     }
+    if frames:
+        centered = samples.astype(np.float64) - (128.0 if bits == 8 else 0.0)
+        mono = np.abs(
+            centered[: frames * channels].reshape(frames, channels).mean(axis=1)
+        )
+        env = np.empty(64, np.float64)
+        for k in range(64):
+            a, b = k * frames // 64, (k + 1) * frames // 64
+            env[k] = mono[a:b].mean() if b > a else mono[min(a, frames - 1)]
+        out["ahash"] = _ahash64(env.reshape(8, 8))
+    return out
 
 
 # SOF0-15 frame markers carrying dimensions, minus DHT/DAC (0xC4/0xCC)
@@ -529,10 +546,12 @@ def make_synthetic_assets(n: int, seed: int = 42) -> list[dict]:
     for real, PNG filter types 0/1/2 all represented), real-header
     JPEGs and real-container MP4s (dimensions/duration parsed for
     real, entropy payload the documented boundary), an interlaced PNG
-    (boundary), planted VISUAL-duplicate BMP pairs (same pixels,
-    different reserved header bytes — ahash-equal, sha256-distinct),
-    plus truncated-BMP / SOF-less-JPEG / truncated-MP4 rows (error
-    isolation). Pure function of (seed, i)."""
+    (boundary), planted PERCEPTUAL-duplicate pairs — BMPs with the
+    same pixels but different reserved header bytes, WAVs with the
+    same samples but an extra LIST chunk (ahash-equal,
+    sha256-distinct) — plus truncated-BMP / SOF-less-JPEG /
+    truncated-MP4 rows (error isolation). Pure function of (seed,
+    i)."""
     import random
 
     def _bmp_blob(rng):
@@ -546,6 +565,17 @@ def make_synthetic_assets(n: int, seed: int = 42) -> list[dict]:
                           2835, 2835, 0, 0)
         )
         return hdr + px, w, h
+
+    def _wav_body(rng):
+        rate = rng.choice((8000, 16000))
+        nsamp = rng.randint(64, 512)
+        samples = b"".join(
+            struct.pack("<h", rng.randint(-20000, 20000))
+            for _ in range(nsamp)
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        return body + b"data" + struct.pack("<I", len(samples)) + samples
 
     out = []
     for i in range(n):
@@ -563,15 +593,14 @@ def make_synthetic_assets(n: int, seed: int = 42) -> list[dict]:
                 blob, w, h = _bmp_blob(rng)
             kind, codec, mw, mh = "image", "bmp", w, h
         elif roll < 5:  # real decodable PCM-16 WAV
-            rate = rng.choice((8000, 16000))
-            nsamp = rng.randint(64, 512)
-            samples = b"".join(
-                struct.pack("<h", rng.randint(-20000, 20000))
-                for _ in range(nsamp)
-            )
-            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
-            body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            body += b"data" + struct.pack("<I", len(samples)) + samples
+            if i % 30 == 13:
+                # planted AUDIO duplicate of asset i-10: identical
+                # samples, but an extra LIST metadata chunk the chunk
+                # walk skips — sha256-distinct, envelope-ahash-equal
+                body = _wav_body(random.Random(f"asset:{seed}:{i - 10}"))
+                body += b"LIST" + struct.pack("<I", 4) + b"INFO"
+            else:
+                body = _wav_body(rng)
             blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
             kind, codec, mw, mh = "audio", "wav", 0, 0
         elif roll < 7:  # real decodable PNG (asset indices ≡5 mod 30 —

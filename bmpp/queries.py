@@ -2187,34 +2187,36 @@ FROM read_parquet('{_MULTIMODAL_FIXTURE}')
 """
 
 
-def q_image_ahash(spark, sf_dir):
-    """Perceptual-hash image dedup over REALLY-decoded pixels: the
-    decode op computes each BMP/PNG's 64-bit average hash (8x8
-    nearest-neighbor resize of the true grayscale matrix + mean
-    threshold — bmpp.multimodal._ahash64), then a window over the
-    hash counts visually-identical assets. The corpus plants BMP
-    pairs with IDENTICAL pixels but different reserved header bytes:
-    sha256 (feature_hash) cannot see those dups; ahash catches all of
-    them (dup_count=2 rows below).
+def q_media_ahash(spark, sf_dir):
+    """Perceptual-hash media dedup over REALLY-decoded content: the
+    decode op computes a 64-bit average hash per asset — images via
+    8x8 nearest-neighbor resize of the true grayscale matrix + mean
+    threshold, audio via a 64-segment energy envelope of the true PCM
+    samples (bmpp.multimodal._ahash64) — then a window over the hash
+    counts perceptually-identical assets. The corpus plants BMP pairs
+    with IDENTICAL pixels but different reserved header bytes AND WAV
+    pairs with IDENTICAL samples but an extra LIST metadata chunk:
+    sha256 (feature_hash) cannot see either dup kind; ahash catches
+    all of them (dup_count=2 rows below).
 
     Scale shape: one Arrow decode pass, then a single shuffle on the
-    64-bit hash — bucket sizes are true visual-dup cluster sizes, so
-    skew is bounded by real duplication (the hot-group cap operator
-    is the documented escape for pathological media farms); a
-    hamming-tolerant variant reuses the simhash 16-bit-chunk LSH
+    64-bit hash — bucket sizes are true perceptual-dup cluster sizes,
+    so skew is bounded by real duplication (the hot-group cap
+    operator is the documented escape for pathological media farms);
+    a hamming-tolerant variant reuses the simhash 16-bit-chunk LSH
     machinery (operators/simhash.py) unchanged, since ahash and
     simhash are both 64-bit fingerprints."""
     from .multimodal import MEDIA_SCHEMA, extract_image_features, make_synthetic_assets
 
     df = spark.createDataFrame(make_synthetic_assets(300), schema=MEDIA_SCHEMA)
-    imgs = extract_image_features(df).filter(F.col("ahash").isNotNull())
+    media = extract_image_features(df).filter(F.col("ahash").isNotNull())
     w = W.partitionBy("ahash")
-    return imgs.select(
+    return media.select(
         "asset_id", "ahash", F.count(F.lit(1)).over(w).alias("dup_count")
     )
 
 
-SQL_IMAGE_AHASH = f"""
+SQL_MEDIA_AHASH = f"""
 SELECT asset_id, ahash, COUNT(*) OVER (PARTITION BY ahash) AS dup_count
 FROM read_parquet('{_MULTIMODAL_FIXTURE}')
 WHERE ahash IS NOT NULL
@@ -2991,7 +2993,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # running_totals, pivot_matrix, cube_rollup, csv_json_roundtrip,
 # set_ops) rotated past the window (61 entries total after
 # decontaminate_ngram, pack_sequences_global, stream_multimodal,
-# neardup_components, frame_sample and image_ahash landed).
+# neardup_components, frame_sample and media_ahash landed).
 CATALOG: dict[str, tuple[Callable, str | None]] = {
     # model-backed (rotated to the front for round 7 — see policy above)
     # oracle via the frozen-model fixture (see q_langid)
@@ -3010,8 +3012,8 @@ CATALOG: dict[str, tuple[Callable, str | None]] = {
     "stream_multimodal": (q_stream_multimodal, SQL_MULTIMODAL),
     # frame fan-out over the real parsed MP4 durations, same fixture
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
-    # perceptual-hash dedup over really-decoded pixels, same fixture
-    "image_ahash": (q_image_ahash, SQL_IMAGE_AHASH),
+    # perceptual-hash dedup over really-decoded pixels/samples
+    "media_ahash": (q_media_ahash, SQL_MEDIA_AHASH),
     # pipeline operators (SURVEY.md §2.1 #2-#13)
     "filter_heuristics": (q_filter_heuristics, SQL_FILTER_HEURISTICS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

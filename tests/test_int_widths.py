@@ -54,8 +54,8 @@ MUST_BE_LONG = [
     ("neardup_components", "component_size"),
     ("frame_sample", "n_frames"),
     ("frame_sample", "frame_idx"),
-    ("image_ahash", "ahash"),
-    ("image_ahash", "dup_count"),
+    ("media_ahash", "ahash"),
+    ("media_ahash", "dup_count"),
     ("stream_dedup_counts", "rows_total"),
     ("stream_dedup_counts", "distinct_total"),
     ("stream_dedup_counts", "dups_total"),

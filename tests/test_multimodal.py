@@ -253,15 +253,17 @@ def _signed64(v: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def test_planted_visual_dups_caught_by_ahash_not_sha():
+def test_planted_perceptual_dups_caught_by_ahash_not_sha():
     """The corpus plants BMP pairs with identical pixels but different
-    reserved header bytes: feature_hash (sha256 of the blob) MUST
+    reserved header bytes, and WAV pairs with identical samples but an
+    extra LIST metadata chunk: feature_hash (sha256 of the blob) MUST
     differ while ahash MUST collide — the whole point of perceptual
     dedup."""
     assets = {a["asset_id"]: a for a in make_synthetic_assets(300)}
-    pairs = [(i - 10, i) for i in range(300) if i % 30 == 20]
-    assert len(pairs) == 10
-    for p, q in pairs:
+    bmp_pairs = [(i - 10, i) for i in range(300) if i % 30 == 20]
+    wav_pairs = [(i - 10, i) for i in range(300) if i % 30 == 13]
+    assert len(bmp_pairs) == 10 and len(wav_pairs) == 10
+    for p, q in bmp_pairs + wav_pairs:
         dp = decode_media(bytes(assets[p]["media"]))
         dq = decode_media(bytes(assets[q]["media"]))
         assert dp["ahash"] == dq["ahash"], (p, q)
