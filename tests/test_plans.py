@@ -321,3 +321,22 @@ def test_domain_cap_sample_is_two_phase_salted(spark):
     plan = _plan(q_domain_cap_sample(spark, SF))
     assert "_ds_salt" in plan
     assert plan.count("Window") >= 2
+
+
+def test_media_ops_single_decode_pass(spark):
+    """frame_sample fans frames out in pure JVM after ONE Arrow decode
+    pass (no shuffle at all: filter → explode stays in the scan
+    partitions); media_ahash adds exactly one Exchange — the window
+    shuffle on the 64-bit hash. A second MapInPandas node in either
+    plan means the decode op got re-evaluated across a branch."""
+    from bmpp.queries import q_frame_sample, q_media_ahash
+
+    plan = _plan(q_frame_sample(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert sum("MapInPandas" in ln for ln in tree.splitlines()) == 1, tree
+    assert "Exchange" not in plan
+
+    plan = _plan(q_media_ahash(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert sum("MapInPandas" in ln for ln in tree.splitlines()) == 1, tree
+    assert sum("Exchange" in ln for ln in tree.splitlines()) == 1, tree
