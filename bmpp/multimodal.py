@@ -15,10 +15,17 @@ Decode status per codec (round 7 — VERDICT r6 item 4):
   (None/Sub/Up/Average/Paeth), true pixel-mean intensity. 16-bit,
   palette and interlaced PNGs stay behind the boundary
   (``decode_error`` set).
+- **PPM/PGM**: REAL decode — binary netpbm (P6 RGB / P5 gray,
+  1-byte samples): header tokenizer with comment support, raster via
+  numpy, true maxval-normalized mean intensity. 2-byte-sample files
+  (maxval > 255) stay behind the boundary.
 - **JPEG**: REAL header parse — the marker walk reads width/height
   from the SOF segment (any SOF0-15 frame type) exactly as ``file``/
   ``identify`` do; only the entropy-coded pixel data stays behind the
   boundary, signalled by ``mean_intensity`` NULL.
+- **GIF**: REAL header parse — canvas width/height from the logical
+  screen descriptor; the LZW image data stays behind the boundary
+  (``mean_intensity`` NULL).
 - **MP4**: REAL container parse — ISO BMFF box walk (ftyp → moov →
   mvhd/trak/tkhd, 32- and 64-bit box sizes, v0/v1 headers) yields
   ``duration_sec`` and the max track width/height; only the codec
@@ -67,6 +74,12 @@ def sniff_codec(blob: bytes) -> str:
         return "jpeg"
     if blob[:2] == b"BM":
         return "bmp"
+    if blob[:2] == b"P6" and blob[2:3] in _PNM_WS:
+        return "ppm"
+    if blob[:2] == b"P5" and blob[2:3] in _PNM_WS:
+        return "pgm"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "wav"
     if blob[4:8] == b"ftyp":
@@ -235,6 +248,96 @@ def decode_bmp(blob: bytes) -> dict:
         "mean_intensity": float(px.mean()) / 255.0,
         "ahash": _ahash64(gray),
     }
+
+
+# PNM token separators (netpbm spec: blanks, TABs, CRs, LFs)
+_PNM_WS = (b" ", b"\t", b"\n", b"\r", b"\x0b", b"\x0c")
+
+
+def _pnm_tokens(blob: bytes, n: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated decimal header tokens starting
+    after the PNM magic, skipping ``#``-to-end-of-line comments, and
+    return (tokens, raster_start): the netpbm spec puts exactly ONE
+    whitespace byte between the last header token and the raster."""
+    toks: list[int] = []
+    pos = 2
+    while len(toks) < n:
+        while pos < len(blob) and blob[pos : pos + 1] in _PNM_WS:
+            pos += 1
+        if pos < len(blob) and blob[pos : pos + 1] == b"#":
+            nl = blob.find(b"\n", pos)
+            if nl == -1:
+                raise ValueError("unterminated PNM comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(blob) and blob[pos : pos + 1] not in _PNM_WS:
+            pos += 1
+        tok = blob[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"bad PNM header token {tok!r}")
+        toks.append(int(tok))
+    if pos >= len(blob) or blob[pos : pos + 1] not in _PNM_WS:
+        raise ValueError("missing PNM raster separator")
+    return toks, pos + 1
+
+
+def decode_pnm(blob: bytes) -> dict:
+    """REAL decode of binary netpbm images — P6 (PPM, RGB) and P5
+    (PGM, grayscale) with 1-byte samples: header tokenizer (comments
+    included), raster read via numpy, true mean intensity normalized
+    by the declared maxval. 2-byte-sample files (maxval > 255) raise
+    NotImplementedError; corrupt headers/rasters raise ValueError."""
+    codec = sniff_codec(blob)
+    if codec not in ("ppm", "pgm"):
+        raise ValueError("bad PNM magic")
+    ch = 3 if codec == "ppm" else 1
+    (w, h, maxval), pos = _pnm_tokens(blob, 3)
+    if w < 1 or h < 1:
+        raise ValueError(f"bad PNM dimensions {w}x{h}")
+    if maxval > 255:
+        raise NotImplementedError(
+            f"no decoder for PNM maxval={maxval} (2-byte samples; only "
+            "1-byte-sample P5/P6 in-sandbox)"
+        )
+    if maxval < 1:
+        raise ValueError(f"bad PNM maxval {maxval}")
+    need = w * h * ch
+    if len(blob) < pos + need:
+        raise ValueError("truncated PNM raster")
+    px = np.frombuffer(blob, np.uint8, need, pos)
+    gray = px.reshape(h, w, ch).mean(axis=2)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "mean_intensity": float(px.mean()) / maxval,
+        "ahash": _ahash64(gray),
+    }
+
+
+def encode_pnm(pixels) -> bytes:
+    """Minimal spec-correct binary PNM writer for synthetic assets and
+    decoder tests: (h, w, 3) uint8 → P6, (h, w) uint8 → P5."""
+    px = np.asarray(pixels, np.uint8)
+    magic = b"P6" if px.ndim == 3 else b"P5"
+    h, w = px.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def parse_gif(blob: bytes) -> dict:
+    """REAL GIF header parse: the logical screen descriptor right
+    after the GIF87a/GIF89a signature carries the canvas
+    width/height (the same 4 bytes ``identify`` reads); the
+    LZW-compressed image data stays behind the sandbox boundary
+    (``mean_intensity`` NULL, like JPEG entropy payloads)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    if len(blob) < 13:
+        raise ValueError("truncated GIF logical screen descriptor")
+    w, h = struct.unpack_from("<HH", blob, 6)
+    if w < 1 or h < 1:
+        raise ValueError(f"bad GIF dimensions {w}x{h}")
+    return {"width": int(w), "height": int(h)}
 
 
 def decode_wav(blob: bytes) -> dict:
@@ -431,8 +534,12 @@ def decode_media(blob: bytes) -> dict:
         out = decode_wav(blob)
     elif codec == "png":
         out = decode_png(blob)
+    elif codec in ("ppm", "pgm"):
+        out = decode_pnm(blob)
     elif codec == "jpeg":
         out = parse_jpeg(blob)
+    elif codec == "gif":
+        out = parse_gif(blob)
     elif codec == "mp4":
         out = parse_mp4(blob)
     else:
@@ -542,16 +649,17 @@ def encode_mp4(
 
 def make_synthetic_assets(n: int, seed: int = 42) -> list[dict]:
     """Deterministic media blobs covering every decode path: REAL
-    24-bit BMPs, PCM-16 WAVs and zlib-compressed RGB PNGs (decoded
-    for real, PNG filter types 0/1/2 all represented), real-header
-    JPEGs and real-container MP4s (dimensions/duration parsed for
-    real, entropy payload the documented boundary), an interlaced PNG
+    24-bit BMPs, PCM-16 WAVs, zlib-compressed RGB PNGs (decoded for
+    real, PNG filter types 0/1/2 all represented) and binary PPM/PGM
+    rasters, real-header JPEGs/GIFs and real-container MP4s
+    (dimensions/duration parsed for real, entropy/LZW payload the
+    documented boundary), an interlaced PNG and a 16-bit-maxval PGM
     (boundary), planted PERCEPTUAL-duplicate pairs — BMPs with the
     same pixels but different reserved header bytes, WAVs with the
-    same samples but an extra LIST chunk (ahash-equal,
-    sha256-distinct) — plus truncated-BMP / SOF-less-JPEG /
-    truncated-MP4 rows (error isolation). Pure function of (seed,
-    i)."""
+    same samples but an extra LIST chunk, and CROSS-CODEC BMP→PPM
+    pixel twins (ahash-equal, sha256-distinct) — plus truncated-BMP /
+    SOF-less-JPEG / truncated-MP4 rows (error isolation). Pure
+    function of (seed, i)."""
     import random
 
     def _bmp_blob(rng):
@@ -603,8 +711,8 @@ def make_synthetic_assets(n: int, seed: int = 42) -> list[dict]:
                 body = _wav_body(rng)
             blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
             kind, codec, mw, mh = "audio", "wav", 0, 0
-        elif roll < 7:  # real decodable PNG (asset indices ≡5 mod 30 —
-            # one in six PNG rows — interlaced: documented boundary
+        elif roll == 5:  # real decodable PNG (asset indices ≡5 mod 30
+            # — one in three PNG rows — interlaced: documented boundary
             # error; first at i=5, so n ≥ 6 keeps the case in the mix)
             mw, mh = rng.randint(2, 24), rng.randint(2, 24)
             px = np.array(
@@ -613,6 +721,57 @@ def make_synthetic_assets(n: int, seed: int = 42) -> list[dict]:
             filters = [rng.choice((0, 1, 2)) for _ in range(mh)]
             blob = encode_png(px, filters, interlace=1 if i % 30 == 5 else 0)
             kind, codec = "image", "png"
+        elif roll == 6:  # netpbm / GIF rows
+            if i % 30 == 6:  # real decodable binary PPM (P6)
+                if i % 60 == 36:
+                    # planted CROSS-CODEC perceptual duplicate of the
+                    # BMP at i-6 (always a plain roll-0 BMP): the same
+                    # pixel bytes re-encoded as P6 — per-pixel channel
+                    # mean is permutation-invariant, so the grayscale
+                    # ahash and mean_intensity match the BMP exactly
+                    # while sha256 (feature_hash) and even the CODEC
+                    # differ: dedup across media formats
+                    bblob, w, h = _bmp_blob(
+                        random.Random(f"asset:{seed}:{i - 6}")
+                    )
+                    stride = (w * 3 + 3) & ~3
+                    arr = np.frombuffer(bblob, np.uint8, stride * h, 54)
+                    arr = arr.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                    blob = encode_pnm(arr[::-1])  # BMP rows are bottom-up
+                    mw, mh = w, h
+                else:
+                    mw, mh = rng.randint(2, 24), rng.randint(2, 24)
+                    px = np.array(
+                        [rng.randrange(256) for _ in range(mh * mw * 3)],
+                        np.uint8,
+                    ).reshape(mh, mw, 3)
+                    blob = encode_pnm(px)
+                kind, codec = "image", "ppm"
+            elif i % 30 == 16:  # binary PGM (P5)
+                mw, mh = rng.randint(2, 24), rng.randint(2, 24)
+                if i % 60 == 46:  # maxval 65535 (2-byte samples):
+                    # documented boundary error for the new codec path
+                    raster = bytes(
+                        rng.randrange(256) for _ in range(mh * mw * 2)
+                    )
+                    blob = b"P5" + f"\n{mw} {mh}\n65535\n".encode() + raster
+                else:
+                    px = np.array(
+                        [rng.randrange(256) for _ in range(mh * mw)], np.uint8
+                    ).reshape(mh, mw)
+                    blob = encode_pnm(px)
+                kind, codec = "image", "pgm"
+            else:  # real GIF header (canvas dims parse for real; the
+                # LZW image data is the documented boundary)
+                mw, mh = rng.randint(16, 1024), rng.randint(16, 1024)
+                blob = (
+                    b"GIF89a"
+                    + struct.pack("<HH", mw, mh)
+                    + bytes((0x70, 0, 0))
+                    + bytes(rng.randrange(256) for _ in range(32))
+                    + b"\x3b"
+                )
+                kind, codec = "image", "gif"
         elif roll == 7:  # real JPEG header (SOF dims parse for real)
             mw, mh = rng.randint(16, 4096), rng.randint(16, 4096)
             blob = encode_jpeg(

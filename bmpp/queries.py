@@ -2155,12 +2155,13 @@ FROM documents
 def q_multimodal_features(spark, sf_dir):
     """Binary media columns → feature extraction via mapInPandas
     (bmpp.multimodal). BMP (24-bit pixel arrays), 8-bit PNG
-    (zlib inflate + scanline unfilter) and PCM WAV (8/16-bit samples)
-    are decoded FOR REAL with stdlib/numpy byte math — true pixel-mean
-    intensity, sample rate and duration — and JPEG headers / MP4
-    containers are PARSED for real (SOF dims; ISO-BMFF mvhd/tkhd
-    duration + track dims), leaving only their entropy payloads and
-    exotic format variants behind the documented sandbox boundary
+    (zlib inflate + scanline unfilter), binary PPM/PGM rasters and
+    PCM WAV (8/16-bit samples) are decoded FOR REAL with stdlib/numpy
+    byte math — true pixel-mean intensity, sample rate and duration —
+    and JPEG/GIF headers / MP4 containers are PARSED for real (SOF
+    dims; GIF logical screen descriptor; ISO-BMFF mvhd/tkhd duration +
+    track dims), leaving only their entropy/LZW payloads and exotic
+    format variants behind the documented sandbox boundary
     (errors-as-columns). The assets are a pure function of
     (seed, i), so the expected output is frozen as
     fixtures/multimodal_300.parquet (scripts/gen_multimodal_fixture.py,
@@ -2194,10 +2195,11 @@ def q_media_ahash(spark, sf_dir):
     threshold, audio via a 64-segment energy envelope of the true PCM
     samples (bmpp.multimodal._ahash64) — then a window over the hash
     counts perceptually-identical assets. The corpus plants BMP pairs
-    with IDENTICAL pixels but different reserved header bytes AND WAV
-    pairs with IDENTICAL samples but an extra LIST metadata chunk:
-    sha256 (feature_hash) cannot see either dup kind; ahash catches
-    all of them (dup_count=2 rows below).
+    with IDENTICAL pixels but different reserved header bytes, WAV
+    pairs with IDENTICAL samples but an extra LIST metadata chunk,
+    AND cross-codec BMP→PPM pixel twins: sha256 (feature_hash) cannot
+    see any of the three dup kinds; ahash catches all of them
+    (dup_count=2 rows below), including across media formats.
 
     Scale shape: one Arrow decode pass, then a single shuffle on the
     64-bit hash — bucket sizes are true perceptual-dup cluster sizes,

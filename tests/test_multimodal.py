@@ -1,8 +1,9 @@
 """Multimodal binary-column plumbing and the in-sandbox real decoders:
-BMP/PNG pixel arrays and PCM WAV samples decode for real
-(struct/zlib/numpy); JPEG headers and MP4 containers parse for real
-(dims/duration), with only their entropy payloads — plus exotic
-format variants — behind the documented boundary, errors-as-columns.
+BMP/PNG/PPM/PGM pixel arrays and PCM WAV samples decode for real
+(struct/zlib/numpy); JPEG/GIF headers and MP4 containers parse for
+real (dims/duration), with only their entropy/LZW payloads — plus
+exotic format variants — behind the documented boundary,
+errors-as-columns.
 Staleness guard for fixtures/multimodal_300.parquet: the driver
 contract replica (test_driver_contract) value-hashes the live Spark
 output against the fixture-backed oracle, and
@@ -271,6 +272,72 @@ def test_planted_perceptual_dups_caught_by_ahash_not_sha():
         assert dp["mean_intensity"] == dq["mean_intensity"], (p, q)
 
 
+def test_decode_pnm_exact_and_rejects():
+    import numpy as np
+
+    from bmpp.multimodal import decode_pnm, encode_pnm
+
+    # P6: known bytes, header with a comment, exact maxval-normalized mean
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    blob = b"P6\n# a comment\n2 2\n255\n" + px.tobytes()
+    d = decode_pnm(blob)
+    assert (d["width"], d["height"]) == (2, 2)
+    assert d["mean_intensity"] == pytest.approx(px.mean() / 255.0)
+    # P5 grayscale round-trip through the writer
+    g = np.array([[0, 255], [128, 64]], np.uint8)
+    d = decode_pnm(encode_pnm(g))
+    assert (d["width"], d["height"]) == (2, 2)
+    assert d["mean_intensity"] == pytest.approx(g.mean() / 255.0)
+    # non-255 maxval normalizes by the declared maxval
+    d = decode_pnm(b"P5\n2 1\n100\n" + bytes([50, 100]))
+    assert d["mean_intensity"] == pytest.approx(0.75)
+    # 2-byte samples: real format, documented boundary
+    with pytest.raises(NotImplementedError, match="maxval=65535"):
+        decode_pnm(b"P5\n1 1\n65535\n\x00\x01")
+    with pytest.raises(ValueError, match="truncated PNM raster"):
+        decode_pnm(b"P6\n4 4\n255\n" + b"\x00" * 10)
+    with pytest.raises(ValueError, match="bad PNM header token"):
+        decode_pnm(b"P6\n-2 2\n255\n" + b"\x00" * 12)
+    with pytest.raises(ValueError, match="bad PNM magic"):
+        decode_pnm(b"P3\n1 1\n255\n0 0 0")  # ASCII PPM: not sniffed
+
+
+def test_parse_gif_exact_and_rejects():
+    import struct as st
+
+    from bmpp.multimodal import parse_gif
+
+    blob = b"GIF89a" + st.pack("<HH", 640, 480) + bytes(3) + b"\x3b"
+    assert parse_gif(blob) == {"width": 640, "height": 480}
+    blob87 = b"GIF87a" + st.pack("<HH", 1, 1) + bytes(3) + b"\x3b"
+    assert parse_gif(blob87) == {"width": 1, "height": 1}
+    with pytest.raises(ValueError, match="bad GIF signature"):
+        parse_gif(b"GIF88a" + bytes(7))
+    with pytest.raises(ValueError, match="truncated GIF"):
+        parse_gif(b"GIF89a\x01\x00")
+    with pytest.raises(ValueError, match="bad GIF dimensions"):
+        parse_gif(b"GIF89a" + st.pack("<HH", 0, 7) + bytes(3))
+
+
+def test_cross_codec_perceptual_twins():
+    """The corpus plants BMP→PPM pixel twins (i%60==36 re-encodes the
+    pixels of the plain BMP at i-6 as P6): the grayscale ahash and
+    mean_intensity MUST match across the two codecs while sha256
+    (feature_hash) differs — perceptual dedup across media formats."""
+    assets = {a["asset_id"]: a for a in make_synthetic_assets(300)}
+    pairs = [(i - 6, i) for i in range(300) if i % 60 == 36]
+    assert len(pairs) == 5
+    for p, q in pairs:
+        assert assets[p]["meta"]["codec"] == "bmp"
+        assert assets[q]["meta"]["codec"] == "ppm"
+        dp = decode_media(bytes(assets[p]["media"]))
+        dq = decode_media(bytes(assets[q]["media"]))
+        assert dp["ahash"] == dq["ahash"], (p, q)
+        assert dp["feature_hash"] != dq["feature_hash"], (p, q)
+        assert dp["mean_intensity"] == dq["mean_intensity"], (p, q)
+        assert (dp["width"], dp["height"]) == (dq["width"], dq["height"])
+
+
 def test_parse_jpeg_exact_and_rejects():
     from bmpp.multimodal import encode_jpeg, parse_jpeg
 
@@ -354,26 +421,27 @@ def test_extract_features_real_decode_and_error_isolation(spark, assets_df):
             saw.add("err")
             continue
         assert r["decode_error"] is None
-        if codec in ("bmp", "png", "jpeg", "mp4"):
+        if codec in ("bmp", "png", "ppm", "pgm", "jpeg", "gif", "mp4"):
             assert (r["width"], r["height"]) == (
                 a["meta"]["width"], a["meta"]["height"]
             )
             saw.add(codec)
-        if codec in ("bmp", "png"):  # real pixel decode inside the UDF
+        if codec in ("bmp", "png", "ppm", "pgm"):  # real pixel decode
+            # inside the UDF
             assert 0.0 <= r["mean_intensity"] <= 1.0
         elif codec == "wav":  # real sample decode
             assert r["sample_rate"] in (8000, 16000)
             assert r["duration_sec"] > 0
             assert 0.0 <= r["mean_intensity"] <= 1.0
             saw.add("wav")
-        else:  # jpeg/mp4: header/container parse only — the signal
-            # that the entropy payload stayed undecoded is the NULL
+        else:  # jpeg/gif/mp4: header/container parse only — the signal
+            # that the entropy/LZW payload stayed undecoded is the NULL
             assert r["mean_intensity"] is None
             if codec == "mp4":
                 assert r["duration_sec"] > 0
-    assert saw == {"bmp", "png", "wav", "jpeg", "mp4", "err"}, (
-        "asset mix lost a decode path"
-    )
+    assert saw == {
+        "bmp", "png", "ppm", "pgm", "wav", "jpeg", "gif", "mp4", "err"
+    }, "asset mix lost a decode path"
 
 
 def test_frame_sample_plan(spark):
