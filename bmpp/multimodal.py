@@ -23,9 +23,11 @@ Decode status per codec (round 7 — VERDICT r6 item 4):
   from the SOF segment (any SOF0-15 frame type) exactly as ``file``/
   ``identify`` do; only the entropy-coded pixel data stays behind the
   boundary, signalled by ``mean_intensity`` NULL.
-- **GIF**: REAL header parse — canvas width/height from the logical
-  screen descriptor; the LZW image data stays behind the boundary
-  (``mean_intensity`` NULL).
+- **GIF**: REAL decode — logical screen descriptor, global/local
+  color table, extension skipping, sub-block reassembly and a full
+  variable-width LZW decode (spec appendix F: KwKwK, code-width
+  growth, CLEAR resets), palette lookup → true RGB pixel mean +
+  grayscale ahash. Interlaced GIFs stay behind the boundary.
 - **MP4**: REAL container parse — ISO BMFF box walk (ftyp → moov →
   mvhd/trak/tkhd, 32- and 64-bit box sizes, v0/v1 headers) yields
   ``duration_sec`` and the max track width/height; only the codec
@@ -327,9 +329,7 @@ def encode_pnm(pixels) -> bytes:
 def parse_gif(blob: bytes) -> dict:
     """REAL GIF header parse: the logical screen descriptor right
     after the GIF87a/GIF89a signature carries the canvas
-    width/height (the same 4 bytes ``identify`` reads); the
-    LZW-compressed image data stays behind the sandbox boundary
-    (``mean_intensity`` NULL, like JPEG entropy payloads)."""
+    width/height (the same 4 bytes ``identify`` reads)."""
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("bad GIF signature")
     if len(blob) < 13:
@@ -338,6 +338,231 @@ def parse_gif(blob: bytes) -> dict:
     if w < 1 or h < 1:
         raise ValueError(f"bad GIF dimensions {w}x{h}")
     return {"width": int(w), "height": int(h)}
+
+
+def _lzw_decode(data: bytes, min_code: int) -> list[int]:
+    """REAL GIF LZW decode (spec appendix F): variable-width codes
+    LSB-first, CLEAR resets the table, width grows when the next free
+    slot reaches 2^width (capped at 12 bits), and the classic
+    KwKwK case (code == next free slot) emits prev + prev[0]."""
+    if not 2 <= min_code <= 8:
+        raise ValueError(f"bad LZW min code size {min_code}")
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [[i] for i in range(clear)]
+    table: list[list[int]] = []
+    width = min_code + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream (no END code)")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base) + [[], []]  # slots for CLEAR/END
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if not table:
+            raise ValueError("GIF LZW data before any CLEAR code")
+        if prev is None:  # first code after CLEAR must be a literal
+            if code >= clear:
+                raise ValueError(f"bad first LZW code {code}")
+            entry = base[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # KwKwK
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError(f"LZW code {code} beyond table size {len(table)}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def _lzw_encode(indices, min_code: int) -> bytes:
+    """REAL GIF LZW encoder (dictionary form, spec appendix F) for the
+    synthetic assets and decoder round-trip tests: emits CLEAR, grows
+    code width exactly when the decoder does, re-CLEARs at table slot
+    4096, ends with END; codes packed LSB-first."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, width)
+    buf: tuple[int, ...] = ()
+    for s in indices:
+        s = int(s)
+        if not 0 <= s < clear:
+            raise ValueError(f"palette index {s} outside root size {clear}")
+        cand = buf + (s,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        # width sync: after emitting data code j the encoder has
+        # next_code = end+1+j while the decoder's table (whose appends
+        # start one code later) is at end+j; the decoder widens for
+        # code j+1 when end+j hits 2^width, so the encoder must widen
+        # exactly when next_code == 2^width + 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        buf = (s,)
+        if next_code == 4097:  # table full: reset, like the decoder
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+    if buf:
+        emit(table[buf], width)
+        # the decoder appends an entry for this flush code too (the
+        # encoder has nothing to add), so it can widen once more
+        # before reading END — mirror that
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(blob: bytes) -> dict:
+    """REAL decode of non-interlaced GIF87a/89a: logical screen
+    descriptor, global/local color table, extension-block skipping,
+    sub-block reassembly, full LZW decode (``_lzw_decode``), palette
+    lookup → true RGB pixel mean + grayscale ahash. Interlaced images
+    raise NotImplementedError (the deployment decoder's job); corrupt
+    structures/streams raise ValueError."""
+    hdr = parse_gif(blob)
+    packed = blob[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(blob):
+        block = blob[pos]
+        if block == 0x21:  # extension: label + data sub-blocks
+            pos += 2
+            while True:
+                if pos >= len(blob):
+                    raise ValueError("truncated GIF extension")
+                sz = blob[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(blob):
+                raise ValueError("truncated GIF image descriptor")
+            iw, ih = struct.unpack_from("<HH", blob, pos + 5)
+            ipacked = blob[pos + 9]
+            pos += 10
+            if ipacked & 0x40:
+                raise NotImplementedError(
+                    "no decoder for interlaced GIF in-sandbox"
+                )
+            pal = gct
+            if ipacked & 0x80:  # local color table wins
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image with no color table")
+            if iw < 1 or ih < 1:
+                raise ValueError(f"bad GIF image dimensions {iw}x{ih}")
+            if pos >= len(blob):
+                raise ValueError("truncated GIF before LZW min code size")
+            min_code = blob[pos]
+            pos += 1
+            data = bytearray()  # reassemble the length-prefixed sub-blocks
+            while True:
+                if pos >= len(blob):
+                    raise ValueError("truncated GIF image data")
+                sz = blob[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                if pos + sz > len(blob):
+                    raise ValueError("truncated GIF sub-block")
+                data += blob[pos : pos + sz]
+                pos += sz
+            idx = np.array(_lzw_decode(bytes(data), min_code), np.int64)
+            if len(idx) < iw * ih:
+                raise ValueError(
+                    f"GIF LZW stream yielded {len(idx)} pixels, need {iw * ih}"
+                )
+            idx = idx[: iw * ih]
+            if int(idx.max()) >= len(pal):
+                raise ValueError("GIF pixel index outside color table")
+            rgb = pal[idx].reshape(ih, iw, 3)
+            gray = rgb.mean(axis=2)
+            return {
+                "width": int(iw),
+                "height": int(ih),
+                "mean_intensity": float(rgb.mean()) / 255.0,
+                "ahash": _ahash64(gray),
+            }
+        elif block == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("no GIF image descriptor before trailer")
+
+
+def encode_gif(indices, palette, interlace: bool = False,
+               comment: bytes | None = None) -> bytes:
+    """Minimal spec-correct GIF89a writer (real LZW data via
+    ``_lzw_encode``, global color table, optional comment extension)
+    for synthetic assets and decoder tests. ``indices`` is an (h, w)
+    array into ``palette`` ((n, 3) uint8, n a power of two ≥ 4)."""
+    idx = np.asarray(indices)
+    pal = np.asarray(palette, np.uint8)
+    h, w = idx.shape
+    n = len(pal)
+    assert n >= 4 and (n & (n - 1)) == 0, "palette size must be a power of two"
+    min_code = max(2, n.bit_length() - 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes(((n.bit_length() - 2) | 0x80, 0, 0))  # GCT flag + size
+    out += pal.tobytes()
+    if comment is not None:  # a skipped extension block
+        out += b"\x21\xfe" + bytes([len(comment)]) + comment + b"\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0])
+    out += bytes([min_code])
+    data = _lzw_encode(idx.ravel(), min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def decode_wav(blob: bytes) -> dict:
@@ -539,7 +764,7 @@ def decode_media(blob: bytes) -> dict:
     elif codec == "jpeg":
         out = parse_jpeg(blob)
     elif codec == "gif":
-        out = parse_gif(blob)
+        out = decode_gif(blob)
     elif codec == "mp4":
         out = parse_mp4(blob)
     else:
@@ -650,14 +875,15 @@ def encode_mp4(
 def make_synthetic_assets(n: int, seed: int = 42) -> list[dict]:
     """Deterministic media blobs covering every decode path: REAL
     24-bit BMPs, PCM-16 WAVs, zlib-compressed RGB PNGs (decoded for
-    real, PNG filter types 0/1/2 all represented) and binary PPM/PGM
-    rasters, real-header JPEGs/GIFs and real-container MP4s
-    (dimensions/duration parsed for real, entropy/LZW payload the
-    documented boundary), an interlaced PNG and a 16-bit-maxval PGM
-    (boundary), planted PERCEPTUAL-duplicate pairs — BMPs with the
-    same pixels but different reserved header bytes, WAVs with the
-    same samples but an extra LIST chunk, and CROSS-CODEC BMP→PPM
-    pixel twins (ahash-equal, sha256-distinct) — plus truncated-BMP /
+    real, PNG filter types 0/1/2 all represented), binary PPM/PGM
+    rasters and LZW-compressed palette GIFs, real-header JPEGs and
+    real-container MP4s (dimensions/duration parsed for real, entropy
+    payload the documented boundary), an interlaced PNG, an
+    interlaced GIF and a 16-bit-maxval PGM (boundary), planted
+    PERCEPTUAL-duplicate pairs — BMPs with the same pixels but
+    different reserved header bytes, WAVs with the same samples but
+    an extra LIST chunk, and CROSS-CODEC BMP→PPM and PGM→GIF pixel
+    twins (ahash-equal, sha256-distinct) — plus truncated-BMP /
     SOF-less-JPEG / truncated-MP4 rows (error isolation). Pure
     function of (seed, i)."""
     import random
@@ -761,16 +987,45 @@ def make_synthetic_assets(n: int, seed: int = 42) -> list[dict]:
                     ).reshape(mh, mw)
                     blob = encode_pnm(px)
                 kind, codec = "image", "pgm"
-            else:  # real GIF header (canvas dims parse for real; the
-                # LZW image data is the documented boundary)
-                mw, mh = rng.randint(16, 1024), rng.randint(16, 1024)
-                blob = (
-                    b"GIF89a"
-                    + struct.pack("<HH", mw, mh)
-                    + bytes((0x70, 0, 0))
-                    + bytes(rng.randrange(256) for _ in range(32))
-                    + b"\x3b"
-                )
+            else:  # real LZW-decoded GIF rows (i % 30 == 26)
+                if i % 60 == 26:
+                    # planted CROSS-CODEC perceptual duplicate of the
+                    # PGM at i-10 (always a real 8-bit roll-6 PGM):
+                    # the same gray pixels as indices into a 256-gray
+                    # palette — palette[v] = (v,v,v), so the decoded
+                    # grayscale, ahash and mean_intensity match the
+                    # PGM exactly while sha256 and the codec differ
+                    rng2 = random.Random(f"asset:{seed}:{i - 10}")
+                    mw, mh = rng2.randint(2, 24), rng2.randint(2, 24)
+                    px = np.array(
+                        [rng2.randrange(256) for _ in range(mh * mw)],
+                        np.uint8,
+                    ).reshape(mh, mw)
+                    pal = np.repeat(
+                        np.arange(256, dtype=np.uint8), 3
+                    ).reshape(256, 3)
+                    blob = encode_gif(px, pal, comment=b"gray twin")
+                elif i % 120 == 56:  # plain random-palette GIF
+                    mw, mh = rng.randint(2, 24), rng.randint(2, 24)
+                    npal = rng.choice((4, 16, 256))
+                    pal = np.array(
+                        [rng.randrange(256) for _ in range(npal * 3)],
+                        np.uint8,
+                    ).reshape(npal, 3)
+                    idx = np.array(
+                        [rng.randrange(npal) for _ in range(mh * mw)],
+                        np.uint8,
+                    ).reshape(mh, mw)
+                    blob = encode_gif(idx, pal)
+                else:  # i % 120 == 116: interlaced — documented boundary
+                    mw, mh = rng.randint(2, 24), rng.randint(2, 24)
+                    pal = np.array(
+                        [rng.randrange(256) for _ in range(12)], np.uint8
+                    ).reshape(4, 3)
+                    idx = np.array(
+                        [rng.randrange(4) for _ in range(mh * mw)], np.uint8
+                    ).reshape(mh, mw)
+                    blob = encode_gif(idx, pal, interlace=True)
                 kind, codec = "image", "gif"
         elif roll == 7:  # real JPEG header (SOF dims parse for real)
             mw, mh = rng.randint(16, 4096), rng.randint(16, 4096)

@@ -2155,14 +2155,14 @@ FROM documents
 def q_multimodal_features(spark, sf_dir):
     """Binary media columns → feature extraction via mapInPandas
     (bmpp.multimodal). BMP (24-bit pixel arrays), 8-bit PNG
-    (zlib inflate + scanline unfilter), binary PPM/PGM rasters and
-    PCM WAV (8/16-bit samples) are decoded FOR REAL with stdlib/numpy
-    byte math — true pixel-mean intensity, sample rate and duration —
-    and JPEG/GIF headers / MP4 containers are PARSED for real (SOF
-    dims; GIF logical screen descriptor; ISO-BMFF mvhd/tkhd duration +
-    track dims), leaving only their entropy/LZW payloads and exotic
-    format variants behind the documented sandbox boundary
-    (errors-as-columns). The assets are a pure function of
+    (zlib inflate + scanline unfilter), binary PPM/PGM rasters,
+    LZW-compressed palette GIFs (spec-complete variable-width LZW
+    decode) and PCM WAV (8/16-bit samples) are decoded FOR REAL with
+    stdlib/numpy byte math — true pixel-mean intensity, sample rate
+    and duration — and JPEG headers / MP4 containers are PARSED for
+    real (SOF dims; ISO-BMFF mvhd/tkhd duration + track dims),
+    leaving only their entropy payloads and exotic format variants
+    behind the documented sandbox boundary (errors-as-columns). The assets are a pure function of
     (seed, i), so the expected output is frozen as
     fixtures/multimodal_300.parquet (scripts/gen_multimodal_fixture.py,
     same decode functions) — the DuckDB oracle reads it back, and the
@@ -2197,9 +2197,10 @@ def q_media_ahash(spark, sf_dir):
     counts perceptually-identical assets. The corpus plants BMP pairs
     with IDENTICAL pixels but different reserved header bytes, WAV
     pairs with IDENTICAL samples but an extra LIST metadata chunk,
-    AND cross-codec BMP→PPM pixel twins: sha256 (feature_hash) cannot
-    see any of the three dup kinds; ahash catches all of them
-    (dup_count=2 rows below), including across media formats.
+    AND cross-codec BMP→PPM and PGM→GIF pixel twins: sha256
+    (feature_hash) cannot see any of the four dup kinds; ahash catches
+    all of them (dup_count=2 rows below), including across media
+    formats and through a real LZW decode.
 
     Scale shape: one Arrow decode pass, then a single shuffle on the
     64-bit hash — bucket sizes are true perceptual-dup cluster sizes,

@@ -1,9 +1,9 @@
 """Multimodal binary-column plumbing and the in-sandbox real decoders:
-BMP/PNG/PPM/PGM pixel arrays and PCM WAV samples decode for real
-(struct/zlib/numpy); JPEG/GIF headers and MP4 containers parse for
-real (dims/duration), with only their entropy/LZW payloads — plus
-exotic format variants — behind the documented boundary,
-errors-as-columns.
+BMP/PNG/PPM/PGM pixel arrays, LZW-compressed GIFs and PCM WAV samples
+decode for real (struct/zlib/numpy + a spec-complete GIF LZW codec);
+JPEG headers and MP4 containers parse for real (dims/duration), with
+only their entropy payloads — plus exotic format variants — behind
+the documented boundary, errors-as-columns.
 Staleness guard for fixtures/multimodal_300.parquet: the driver
 contract replica (test_driver_contract) value-hashes the live Spark
 output against the fixture-backed oracle, and
@@ -319,17 +319,81 @@ def test_parse_gif_exact_and_rejects():
         parse_gif(b"GIF89a" + st.pack("<HH", 0, 7) + bytes(3))
 
 
+def test_lzw_roundtrip_every_width_boundary():
+    """The GIF LZW pair must stay bit-synchronized across every
+    code-width growth point, the KwKwK self-reference, the flush-code
+    widen (the classic off-by-one: the decoder appends an entry for
+    the encoder's final flush emit too) and the 4096-entry table
+    reset. All-zero runs hit KwKwK + maximal table growth; length
+    sweeps cross every boundary."""
+    from bmpp.multimodal import _lzw_decode, _lzw_encode
+
+    for mc in (2, 3, 8):
+        for n in range(0, 260):
+            seq = [0] * n
+            assert _lzw_decode(_lzw_encode(seq, mc), mc) == seq, (mc, n)
+            seq = [i % (1 << mc) for i in range(n)]
+            assert _lzw_decode(_lzw_encode(seq, mc), mc) == seq, (mc, n)
+    # long highly-compressible stream: forces the 4096-slot reset
+    seq = [0] * 40_000
+    assert _lzw_decode(_lzw_encode(seq, 2), 2) == seq
+    import random as _r
+
+    rng = _r.Random(3)
+    seq = [rng.randrange(256) for _ in range(20_000)]
+    assert _lzw_decode(_lzw_encode(seq, 8), 8) == seq
+
+
+def test_decode_gif_exact_pixels_and_rejects():
+    import numpy as np
+    import struct as st
+
+    from bmpp.multimodal import decode_gif, encode_gif
+
+    # known palette + indices → exact RGB mean; comment ext skipped
+    pal = np.array([[0, 0, 0], [255, 255, 255], [10, 20, 30], [7, 7, 7]],
+                   np.uint8)
+    idx = np.array([[0, 1], [2, 3]], np.uint8)
+    d = decode_gif(encode_gif(idx, pal, comment=b"skip me"))
+    assert (d["width"], d["height"]) == (2, 2)
+    want = pal[idx.astype(int)].mean() / 255.0
+    assert d["mean_intensity"] == pytest.approx(want, abs=0)
+    # 256-gray palette GIF must carry the same ahash as the raw gray
+    from bmpp.multimodal import _ahash64, decode_pnm, encode_pnm
+
+    rng = np.random.RandomState(5)
+    g = rng.randint(0, 256, (9, 7)).astype(np.uint8)
+    gray_pal = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+    dg = decode_gif(encode_gif(g, gray_pal))
+    dp = decode_pnm(encode_pnm(g))
+    assert dg["ahash"] == dp["ahash"] == _ahash64(g.astype(np.float64))
+    assert dg["mean_intensity"] == dp["mean_intensity"]
+    # boundary / corrupt forms: never IndexError out of the column net
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(encode_gif(idx, pal, interlace=True))
+    blob = encode_gif(idx, pal)
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_gif(blob[:-3])  # truncated sub-block chain
+    with pytest.raises(ValueError, match="no GIF image descriptor"):
+        decode_gif(b"GIF89a" + st.pack("<HH", 2, 2) + bytes(3) + b"\x3b")
+    with pytest.raises(ValueError, match="bad GIF block"):
+        decode_gif(b"GIF89a" + st.pack("<HH", 2, 2) + bytes(3) + b"\x99")
+
+
 def test_cross_codec_perceptual_twins():
     """The corpus plants BMP→PPM pixel twins (i%60==36 re-encodes the
-    pixels of the plain BMP at i-6 as P6): the grayscale ahash and
-    mean_intensity MUST match across the two codecs while sha256
-    (feature_hash) differs — perceptual dedup across media formats."""
+    pixels of the plain BMP at i-6 as P6) and PGM→GIF gray twins
+    (i%60==26 re-encodes the PGM at i-10 as a 256-gray-palette GIF):
+    the grayscale ahash and mean_intensity MUST match across the two
+    codecs while sha256 (feature_hash) differs — perceptual dedup
+    across media formats."""
     assets = {a["asset_id"]: a for a in make_synthetic_assets(300)}
-    pairs = [(i - 6, i) for i in range(300) if i % 60 == 36]
-    assert len(pairs) == 5
-    for p, q in pairs:
-        assert assets[p]["meta"]["codec"] == "bmp"
-        assert assets[q]["meta"]["codec"] == "ppm"
+    bmp_ppm = [("bmp", "ppm", i - 6, i) for i in range(300) if i % 60 == 36]
+    pgm_gif = [("pgm", "gif", i - 10, i) for i in range(300) if i % 60 == 26]
+    assert len(bmp_ppm) == 5 and len(pgm_gif) == 5
+    for cp, cq, p, q in bmp_ppm + pgm_gif:
+        assert assets[p]["meta"]["codec"] == cp
+        assert assets[q]["meta"]["codec"] == cq
         dp = decode_media(bytes(assets[p]["media"]))
         dq = decode_media(bytes(assets[q]["media"]))
         assert dp["ahash"] == dq["ahash"], (p, q)
@@ -426,16 +490,16 @@ def test_extract_features_real_decode_and_error_isolation(spark, assets_df):
                 a["meta"]["width"], a["meta"]["height"]
             )
             saw.add(codec)
-        if codec in ("bmp", "png", "ppm", "pgm"):  # real pixel decode
-            # inside the UDF
+        if codec in ("bmp", "png", "ppm", "pgm", "gif"):  # real pixel
+            # decode inside the UDF (gif: full LZW + palette lookup)
             assert 0.0 <= r["mean_intensity"] <= 1.0
         elif codec == "wav":  # real sample decode
             assert r["sample_rate"] in (8000, 16000)
             assert r["duration_sec"] > 0
             assert 0.0 <= r["mean_intensity"] <= 1.0
             saw.add("wav")
-        else:  # jpeg/gif/mp4: header/container parse only — the signal
-            # that the entropy/LZW payload stayed undecoded is the NULL
+        else:  # jpeg/mp4: header/container parse only — the signal
+            # that the entropy payload stayed undecoded is the NULL
             assert r["mean_intensity"] is None
             if codec == "mp4":
                 assert r["duration_sec"] > 0
