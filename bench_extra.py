@@ -1,0 +1,87 @@
+"""Per-query measurement harness (guide §1) — NOT the driver bench.
+
+bench.py is frozen for measurement; this file exists so optimization
+work can isolate single catalog queries with the noop sink, repeat
+them best-of-N, and dump `.explain("formatted")` plans, without
+touching the frozen methodology. Same session confs as bench.py.
+
+Usage:
+  python bench_extra.py --sf /root/testdata/sf1.0 \
+      --queries winnow_fingerprint,langid_score --repeats 3 \
+      --plans plans/r08 --suffix before
+Prints one JSON line: {"query": best_sec, ...} plus per-run samples.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from bmpp.queries import CATALOG  # noqa: E402
+from bmpp.session import get_spark  # noqa: E402
+
+
+def _exec(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--queries", default="")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--plans", default="")
+    ap.add_argument("--suffix", default="before")
+    ap.add_argument("--no-warmup", action="store_true")
+    args = ap.parse_args()
+
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    extra = {
+        "spark.sql.files.maxPartitionBytes": "8m",
+        "spark.sql.files.openCostInBytes": "524288",
+    }
+    if os.path.isdir("/dev/shm"):
+        extra["spark.local.dir"] = "/dev/shm/bmpp_bench"
+    spark = get_spark(app="bmpp-bench-extra", cores=cores, extra=extra)
+
+    names = [q for q in args.queries.split(",") if q] or sorted(CATALOG)
+    out: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    for name in names:
+        fn, _sql = CATALOG[name]
+        if args.plans:
+            plan_dir = Path(args.plans)
+            plan_dir.mkdir(parents=True, exist_ok=True)
+            df = fn(spark, args.sf)
+            p = plan_dir / f"{name}_{args.suffix}.txt"
+            p.write_text(df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")))
+        if not args.no_warmup:
+            spark.sparkContext.setJobDescription(f"warmup:{name}")
+            _exec(fn(spark, args.sf))
+        best = float("inf")
+        runs = []
+        for i in range(args.repeats):
+            spark.sparkContext.setJobDescription(f"{name}:{i}")
+            t0 = time.time()
+            _exec(fn(spark, args.sf))
+            dt = round(time.time() - t0, 3)
+            runs.append(dt)
+            best = min(best, dt)
+        out[name] = best
+        samples[name] = runs
+        print(f"# {name}: best={best} runs={runs}", file=sys.stderr)
+    print(json.dumps({"sf": args.sf, "best": out, "samples": samples}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

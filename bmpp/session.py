@@ -25,10 +25,22 @@ def get_spark(
     # the flag-aggregation stages). On a real cluster size by data
     # volume (~128MB per partition) with AQE as the safety net.
     shuffle_partitions = shuffle_partitions or cores
+    # JVM temp dir (streaming TEMP checkpoints + state-store delta
+    # files land under java.io.tmpdir): RAM-backed on this single-disk
+    # sandbox for the same reason bench.py puts spark.local.dir on
+    # /dev/shm — a stateful micro-batch otherwise fsyncs hundreds of
+    # thousands of tiny state deltas through one disk. Production
+    # clusters point this at the executor-local scratch volume
+    # (BMPP_JAVA_TMPDIR); size is bounded: temp checkpoints are
+    # force-deleted on stop.
+    tmpdir = os.environ.get("BMPP_JAVA_TMPDIR")
+    if tmpdir is None and os.path.isdir("/dev/shm"):
+        tmpdir = "/dev/shm/bmpp_jvm_tmp"
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -39,6 +51,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if tmpdir:
+        os.makedirs(tmpdir, exist_ok=True)
+        b = b.config(
+            "spark.driver.extraJavaOptions", f"-Djava.io.tmpdir={tmpdir}"
+        )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -545,11 +545,34 @@ def _neardup_stream_plan(
     )
 
 
+def _n_state_groups(spark) -> int:
+    """Coarse state-group count for the two-level near-dup state layout
+    (r8 optimization, OPTIMIZATION_r08.md): applyInPandasWithState pays
+    a large fixed cost PER GROUP (pandas slice + state row round-trip —
+    measured ~18s for 378k single-bucket groups at sf1.0), so state is
+    keyed on hash(bucket) % G with the per-bucket logic inside the
+    update function. Per-bucket semantics, rep election and emitted
+    rows are IDENTICAL for any G (each bucket still lives in exactly
+    one group); G only trades per-group overhead (small G) against
+    state-write amplification on trickle batches (a touched group
+    rewrites its whole bucket array — large G keeps that small).
+    Scale-adaptive default; override with spark.bmpp.stream.stateGroups
+    for trickle-heavy continuous deployments."""
+    try:
+        return int(spark.conf.get("spark.bmpp.stream.stateGroups"))
+    except Exception:
+        return max(spark.sparkContext.defaultParallelism * 8, 32)
+
+
 def _stream_minhash_neardup(
     spark, input_dir, schema, cfg, max_files_per_trigger, output_mode
 ) -> DataFrame:
     """MinHash band-bucket stateful stream (docs on
-    ``stream_neardup_flags``)."""
+    ``stream_neardup_flags``). State is two-level (see
+    ``_n_state_groups``): one state row per COARSE group holding the
+    (bucket → rep, count) table as parallel arrays; the per-bucket
+    update below is byte-identical to the old one-group-per-bucket
+    form, replayed bucket-by-bucket in sorted order."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -560,31 +583,56 @@ def _stream_minhash_neardup(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = with_keys(reader.parquet(input_dir))
     bands_udf = make_bands_udf(cfg.minhash_perms, cfg.lsh_bands, cfg.shingle_k)
+    n_groups = _n_state_groups(spark)
     pairs = src.select(
         "doc_key", F.explode(bands_udf(F.col("content"))).alias("band_hash")
+    ).withColumn(
+        "_sg", F.pmod(F.xxhash64("band_hash"), F.lit(n_groups)).cast("int")
     )
 
     def update(key, pdfs, state: GroupState):
-        rep, n = state.get if state.exists else (None, 0)
-        docs = sorted({d for pdf in pdfs for d in pdf["doc_key"]})
-        if not docs:
+        if state.exists:
+            bks, reps, ns = state.get
+            st = {int(b): (r, int(c)) for b, r, c in zip(bks, reps, ns)}
+        else:
+            st = {}
+        per: dict[int, set] = {}
+        for pdf in pdfs:
+            for b, d in zip(pdf["band_hash"], pdf["doc_key"]):
+                per.setdefault(int(b), set()).add(d)
+        if not per:
             return
-        new_rep = docs[0] if rep is None else min(rep, docs[0])
-        state.update((new_rep, n + len(docs)))
-        flagged = [d for d in docs if d != new_rep]
-        if (n + len(docs)) > 1 and flagged:
+        out_d: list = []
+        out_r: list = []
+        out_b: list = []
+        for b in sorted(per):  # deterministic bucket replay order
+            docs = sorted(per[b])
+            rep, n = st.get(b, (None, 0))
+            new_rep = docs[0] if rep is None else min(rep, docs[0])
+            st[b] = (new_rep, n + len(docs))
+            if (n + len(docs)) > 1:
+                for d in docs:
+                    if d != new_rep:
+                        out_d.append(d)
+                        out_r.append(new_rep)
+                        out_b.append(b)
+        items = sorted(st.items())
+        state.update(
+            (
+                [b for b, _ in items],
+                [v[0] for _, v in items],
+                [v[1] for _, v in items],
+            )
+        )
+        if out_d:
             yield pd.DataFrame(
-                {
-                    "doc_key": flagged,
-                    "near_dup_of": [new_rep] * len(flagged),
-                    "bucket": [int(key[0])] * len(flagged),
-                }
+                {"doc_key": out_d, "near_dup_of": out_r, "bucket": out_b}
             )
 
-    return pairs.groupBy("band_hash").applyInPandasWithState(
+    return pairs.groupBy("_sg").applyInPandasWithState(
         update,
         NEARDUP_STREAM_SCHEMA,
-        "rep string, n long",
+        "buckets array<long>, reps array<string>, ns array<long>",
         output_mode,
         GroupStateTimeout.NoTimeout,
     )
@@ -626,6 +674,7 @@ def _stream_simhash_neardup(
     src = with_keys(reader.parquet(input_dir))
     fp = src.select("doc_key", simhash_udf(F.col("content")).alias("fp64"))
     f = F.col("fp64")
+    n_groups = _n_state_groups(spark)
     pairs = (
         fp.filter(f != 0)
         .select(
@@ -640,48 +689,76 @@ def _stream_simhash_neardup(
                 "c * 65536 + (shiftright(fp64, 48 - c * 16) & 65535)"
             ).alias("chunk_bucket"),
         )
+        .withColumn(
+            "_sg",
+            F.pmod(F.xxhash64("chunk_bucket"), F.lit(n_groups)).cast("int"),
+        )
     )
 
     def update(key, pdfs, state: GroupState):
-        rep, rep_fp, n = state.get if state.exists else (None, 0, 0)
-        # dedupe arrivals by doc_key (matching the minhash stream's
-        # per-doc set): a doc whose old and re-crawled versions land
-        # in one micro-batch AND one bucket is processed once, with
-        # the smallest fingerprint as the deterministic tiebreak (a
-        # pure function of the data, not of file packing)
-        best: dict = {}
+        # two-level state (see _n_state_groups): this group's
+        # (chunk bucket → rep key, rep fp, count) table as arrays
+        if state.exists:
+            bks, reps, fps, ns = state.get
+            st = {
+                int(b): (r, int(fv), int(c))
+                for b, r, fv, c in zip(bks, reps, fps, ns)
+            }
+        else:
+            st = {}
+        # dedupe arrivals by (bucket, doc_key) (matching the minhash
+        # stream's per-doc set): a doc whose old and re-crawled
+        # versions land in one micro-batch AND one bucket is processed
+        # once, with the smallest fingerprint as the deterministic
+        # tiebreak (a pure function of the data, not of file packing)
+        per: dict[int, dict] = {}
         for pdf in pdfs:
-            for k, v in zip(pdf["doc_key"], pdf["fp64"]):
-                v = int(v)
+            for b, k, v in zip(pdf["chunk_bucket"], pdf["doc_key"], pdf["fp64"]):
+                b, v = int(b), int(v)
+                best = per.setdefault(b, {})
                 if k not in best or v < best[k]:
                     best[k] = v
-        if not best:
+        if not per:
             return
-        flagged = []
-        for k, v in sorted(best.items()):  # key order ≡ one-at-a-time
-            n += 1
-            if rep is None or k < rep:
-                rep, rep_fp = k, v
-            elif k > rep and hamming64(v, int(rep_fp)) <= max_ham:
-                # k == rep (the rep re-arriving on re-ingestion) must
-                # NOT fall through to the verify — distance 0 would
-                # flag the doc as a near-dup of ITSELF and a dedup
-                # consumer could drop the only copy
-                flagged.append(k)
-        state.update((rep, rep_fp, n))
-        if flagged:
+        out_d: list = []
+        out_r: list = []
+        out_b: list = []
+        for b in sorted(per):  # deterministic bucket replay order
+            rep, rep_fp, n = st.get(b, (None, 0, 0))
+            flagged = []
+            for k, v in sorted(per[b].items()):  # key order ≡ one-at-a-time
+                n += 1
+                if rep is None or k < rep:
+                    rep, rep_fp = k, v
+                elif k > rep and hamming64(v, int(rep_fp)) <= max_ham:
+                    # k == rep (the rep re-arriving on re-ingestion)
+                    # must NOT fall through to the verify — distance 0
+                    # would flag the doc as a near-dup of ITSELF and a
+                    # dedup consumer could drop the only copy
+                    flagged.append(k)
+            st[b] = (rep, rep_fp, n)
+            out_d.extend(flagged)
+            out_r.extend([rep] * len(flagged))
+            out_b.extend([b] * len(flagged))
+        items = sorted(st.items())
+        state.update(
+            (
+                [b for b, _ in items],
+                [v[0] for _, v in items],
+                [v[1] for _, v in items],
+                [v[2] for _, v in items],
+            )
+        )
+        if out_d:
             yield pd.DataFrame(
-                {
-                    "doc_key": flagged,
-                    "near_dup_of": [rep] * len(flagged),
-                    "bucket": [int(key[0])] * len(flagged),
-                }
+                {"doc_key": out_d, "near_dup_of": out_r, "bucket": out_b}
             )
 
-    return pairs.groupBy("chunk_bucket").applyInPandasWithState(
+    return pairs.groupBy("_sg").applyInPandasWithState(
         update,
         NEARDUP_STREAM_SCHEMA,
-        "rep string, rep_fp long, n long",
+        "buckets array<long>, reps array<string>, "
+        "rep_fps array<long>, ns array<long>",
         output_mode,
         GroupStateTimeout.NoTimeout,
     )

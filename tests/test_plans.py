@@ -239,16 +239,21 @@ def test_per_row_text_ops_are_shuffle_free(spark):
     """intradoc_dedup is a pure per-row JVM pass; winnow_fingerprint is
     ONE Arrow kernel pass over a JVM-truncated prefix (NOT JVM
     higher-order functions — see _winnow_sets for the measured
-    CollapseProject quadratic). Any Exchange means a refactor added a
+    CollapseProject quadratic). No KEYED shuffle may appear — the only
+    legal Exchange is the small-input round-robin scan spread (_t, r8:
+    single-row-group inputs otherwise run the kernel on one core); a
+    hashpartitioning/rangepartitioning means a refactor added a real
     shuffle to an embarrassingly parallel op."""
     from bmpp.queries import q_intradoc_dedup, q_winnow_fingerprint
 
     plan = _plan(q_intradoc_dedup(spark, SF))
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "ArrowEvalPython" not in plan  # JVM-only by design
 
     plan = _plan(q_winnow_fingerprint(spark, SF))
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     tree = plan.split("\n\n")[0]
     assert sum("ArrowEvalPython" in ln for ln in tree.splitlines()) == 1
     # the kernel must be fed the truncated prefix, not full documents
@@ -278,7 +283,9 @@ def test_decontaminate_ngram_is_one_arrow_pass_no_join(spark):
     from bmpp.queries import q_decontaminate_ngram
 
     plan = _plan(q_decontaminate_ngram(spark, SF))
-    assert "Exchange" not in plan
+    # round-robin scan spread (_t, r8) is the only legal Exchange
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "Join" not in plan
     tree = plan.split("\n\n")[0]
     assert sum("ArrowEvalPython" in ln for ln in tree.splitlines()) == 1
@@ -305,6 +312,11 @@ def test_stratified_split_single_exchange_and_pruned(spark):
 
     plan = _plan(q_stratified_split(spark, SF))
     tree = plan.split("\n\n")[0]
+    # exactly one exchange — the shared hashpartitioning(lang) (the _t
+    # scan spread doesn't fire at sf0.01: documents is far below
+    # _SPREAD_MIN, so a second Exchange here means a refactor added a
+    # real shuffle)
+    assert plan.count("hashpartitioning(lang") >= 1
     n_exchanges = sum("Exchange" in ln for ln in tree.splitlines())
     assert n_exchanges == 1, tree
     read = plan.split("ReadSchema")[1].split("\n")[0]
