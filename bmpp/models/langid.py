@@ -63,12 +63,17 @@ class LangIdModel:
         # sparse scoring: docs touch ~1e3 distinct buckets of 32768 —
         # gather beats the dense matvec ~20×. (Summation order differs
         # from the dense form; the oracle shares THIS function, so both
-        # sides stay bit-identical.)
+        # sides stay bit-identical.) (idx, cnt) come from bincount +
+        # nonzero (r8): identical to np.unique(return_counts=True) —
+        # ascending ids with their multiplicities — without the
+        # O(n log n) sort, which profiled as ~30% of predict_batch.
         ids = char_ngram_ids(text, self.n_buckets)
         total = len(ids)
         if total == 0:
             return "unknown", 0.0
-        idx, cnt = np.unique(ids, return_counts=True)
+        bc = np.bincount(ids, minlength=self.n_buckets)
+        idx = np.nonzero(bc)[0]
+        cnt = bc[idx]
         scores = (self.W[:, idx] @ cnt.astype(np.float64)) / total
         scores = scores - scores.max()
         e = np.exp(scores * _SHARPEN)

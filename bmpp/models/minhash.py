@@ -44,24 +44,31 @@ def signature(text: str, n_perms: int = 64, k: int = 5) -> np.ndarray | None:
     if len(s) == 0:
         return None
     a, b = (_A64[:n_perms], _B64[:n_perms]) if n_perms <= 64 else _perm_params(n_perms)
-    with np.errstate(over="ignore"):
-        m = (a[:, None] * s[None, :] + b[:, None]).min(axis=1)
-    return m
+    return (a[:, None] * s[None, :] + b[:, None]).min(axis=1)
+
+
+_M64 = (1 << 64) - 1
+_MIX_I = int(_MIX)
 
 
 def band_hashes(sig: np.ndarray, n_bands: int) -> list[int]:
     """Fold the signature into ``n_bands`` band keys (signed int64 for
-    Spark LongType). Two docs share a band key iff their band rows match."""
+    Spark LongType). Two docs share a band key iff their band rows
+    match. The sequential xor-multiply fold runs in plain Python ints
+    with an explicit mod-2^64 mask (r8): per-element numpy uint64
+    SCALAR arithmetic cost ~3µs/op and dominated the per-doc band
+    computation; Python int ops with `& _M64` produce bit-identical
+    values ~10× faster at this size."""
     rows = len(sig) // n_bands
+    vals = sig.tolist()  # one bulk conversion, not 64 scalar unboxes
     out = []
-    with np.errstate(over="ignore"):
-        for bi in range(n_bands):
-            h = _U64(1469598103934665603)
-            for v in sig[bi * rows : (bi + 1) * rows]:
-                h = (h ^ v) * _MIX
-            # mix in the band index so buckets never collide across bands
-            h = (h ^ _U64(bi)) * _MIX
-            out.append(int(h.astype(np.int64)))
+    for bi in range(n_bands):
+        h = 1469598103934665603
+        for v in vals[bi * rows : (bi + 1) * rows]:
+            h = ((h ^ v) * _MIX_I) & _M64
+        # mix in the band index so buckets never collide across bands
+        h = ((h ^ bi) * _MIX_I) & _M64
+        out.append(h - (1 << 64) if h >= (1 << 63) else h)
     return out
 
 

@@ -75,4 +75,8 @@ class NgramLM:
         return float(-logp.mean())
 
     def batch(self, texts) -> list[float]:
+        # NOTE (r8): a concatenate-then-one-big-log2 batch form was
+        # tried and measured 4× SLOWER than this per-doc loop — the
+        # multi-MB temporaries thrash RAM bandwidth where the per-doc
+        # arrays stay in cache. Keep the loop.
         return [self.log2_perplexity(t) for t in texts]

@@ -723,6 +723,12 @@ def parse_mp4(blob: bytes) -> dict:
                 raise ValueError("truncated mvhd box")
             ver = blob[s]
             if ver == 1:
+                # v1 carries 64-bit times: the body is 32+ bytes, and
+                # unpack_from is bounded by the whole blob, not the box
+                # end — without this check a 24-31 byte v1 body would
+                # silently read sibling-box bytes as timescale/duration
+                if e - s < 32:
+                    raise ValueError("truncated v1 mvhd box")
                 tscale, d = struct.unpack_from(">IQ", blob, s + 20)
             else:
                 tscale, d = struct.unpack_from(">II", blob, s + 12)

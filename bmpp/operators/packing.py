@@ -59,16 +59,46 @@ def pack_offsets_two_phase(
 
     def local_prefix(batches):
         # rows arrive sorted by (stream, order) inside the partition;
-        # carry the running per-stream total across record batches
+        # carry the running per-stream total across record batches.
+        # Vectorized (r8, VERDICT r7 nit 1): per-stream exclusive
+        # prefix = batch cumsum minus the cumsum at each stream's
+        # first row, with the carry added to the (possibly continued)
+        # first group — integer-exact, bit-identical to the old
+        # per-row loop. NON-NULL CONTRACT: stream/ntok must be
+        # non-null (the catalog's lang column is); a null stream key
+        # never matches the phase-2 equi-join and a null token count
+        # fails the int64 conversion loudly here, exactly like the old
+        # loop's int(None).
+        import numpy as np
+
         run_stream, run_total = None, 0
         for pdf in batches:
-            before = []
-            for s, t in zip(pdf[stream_col], pdf[ntok_col]):
-                if s != run_stream:
-                    run_stream, run_total = s, 0
-                before.append(run_total)
-                run_total += int(t)
             pdf = pdf.copy()
+            if not len(pdf):
+                pdf["_local_before"] = np.empty(0, dtype="int64")
+                yield pdf
+                continue
+            s = pdf[stream_col].to_numpy()
+            t = pdf[ntok_col].to_numpy()
+            if t.dtype.kind not in "iu":  # nulls → float/object: loud
+                t = np.array([int(x) for x in t], dtype="int64")
+            else:
+                t = t.astype("int64", copy=False)
+            cont = run_stream is not None and s[0] == run_stream
+            change = np.empty(len(s), dtype=bool)
+            change[0] = True
+            change[1:] = s[1:] != s[:-1]
+            starts = np.flatnonzero(change)
+            group_id = np.cumsum(change) - 1
+            cum_excl = np.cumsum(t) - t
+            before = cum_excl - cum_excl[starts][group_id]
+            if cont:
+                before[group_id == 0] += run_total
+            last_start = starts[-1]
+            run_total = int(t[last_start:].sum()) + (
+                run_total if (cont and last_start == 0) else 0
+            )
+            run_stream = s[-1]
             pdf["_local_before"] = before
             yield pdf
 

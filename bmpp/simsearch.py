@@ -190,9 +190,17 @@ def neardup_pairs(
     )
     n_probe = min(n_probe, len(C))
     probe_cells = _probe_cells_udf(C, n_probe)
-    celled = emb.select(
-        F.col(id_col).alias("pid"), _as_double(vec_col).alias("v")
-    ).withColumn("cells", probe_cells(F.col("v")))
+    # materialize the celled table ONCE (r8): home and probe are two
+    # plan branches over it, and without this the probe_cells Arrow
+    # UDF (the matmul + lexsort pass over every vector) evaluates
+    # twice — the same one-pass discipline as pipeline.build_plan's
+    # enrich persist. localCheckpoint also truncates lineage; at scale
+    # this is the standard "materialize the enriched table" stage.
+    celled = (
+        emb.select(F.col(id_col).alias("pid"), _as_double(vec_col).alias("v"))
+        .withColumn("cells", probe_cells(F.col("v")))
+        .localCheckpoint(eager=True)
+    )
     home = celled.select(
         "pid", "v",
         F.element_at("cells", 1).alias("cell"),

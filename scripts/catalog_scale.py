@@ -41,7 +41,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-PROTOCOL = "8m-splits-shm-noop-v1"
+PROTOCOL = "8m-splits-shm-noop-v2-r8kernels"  # v2 = r8 optimization round (scan spread, vectorized kernels, two-level stream state)
 ONLY: set[str] = set()
 _pos: list[str] = []
 _argv = sys.argv[1:]

@@ -54,7 +54,7 @@ CORPUS = corpus_path(ROWS)
 # several REPS=1 invocations equal one REPS=N run — useful when the
 # harness bounds a single command's runtime)
 REPS = int(__import__("os").environ.get("BMPP_SCALE_REPS", "2"))
-PROTOCOL = "8m-splits-shm-noop-v3-saltedjoin"  # bump when confs OR the engine change (walls merge across invocations)
+PROTOCOL = "8m-splits-shm-noop-v4-r8kernels"  # bump when confs OR the engine change (walls merge across invocations); v4 = r8 optimization round (vectorized kernels, scan spread, shm scratch)
 # measured by scripts/host_ceiling.py on this VM: what a perfectly
 # parallel shared-nothing numpy workload achieves. Re-measured r5
 # (2026-08-17, two runs, best-of-4 walls {1: 26.8, 2: 13.31, 4: 7.16,
