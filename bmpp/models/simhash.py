@@ -32,13 +32,15 @@ def simhash64(text: str, k: int = 4) -> int:
     h = ngram_hashes(bytes_array((text or "").lower()), k)
     if len(h) == 0:
         return 0
-    bits = (h[:, None] >> _BITS) & _ONE
-    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    val = np.uint64(0)
-    for i in range(64):
-        if votes[i] > 0:
-            val |= _ONE << np.uint64(i)
-    return int(val.astype(np.int64))
+    # votes[i] > 0 ⇔ 2·popcount_i − n > 0 — same integer comparison as
+    # the former (2·bits − 1).sum() form, without materializing the
+    # (n, 64) int64 matrix; the bit packing is one vectorized
+    # shift-sum instead of a 64-iteration numpy-scalar loop (r8 —
+    # bit-identical, ~2× per doc; the oracle shares this function)
+    pos = ((h[:, None] >> _BITS) & _ONE).sum(axis=0).astype(np.int64)
+    mask = (2 * pos - np.int64(len(h))) > 0
+    val = int((mask.astype(np.uint64) << _BITS).sum())
+    return val - (1 << 64) if val >= (1 << 63) else val
 
 
 def simhash64_batch(texts: list[str], k: int = 4) -> list[int]:

@@ -1157,47 +1157,70 @@ def _winnow_sets(texts):
     K, Wn = _WINNOW_K, _WINNOW_W
     rx = _re.compile(r"[^a-z0-9]")
     norm = [rx.sub("", (t or "").lower())[: _WINNOW_PREFIX] for t in texts]
-    spans: list[tuple[int, int]] = []  # (start, ng) into the gram pool
-    parts: list[np.ndarray] = []
-    pos = 0
+    # ONE buffer for the whole batch, docs joined by a separator byte
+    # that cannot occur in the normalized alphabet: grams and window
+    # mins are then computed by ONE sliding-window pass each over the
+    # entire batch instead of two numpy calls per document. Gram
+    # positions that straddle a separator exist in the global arrays
+    # but are never gathered (each doc only reads its own index
+    # range), so they cost a few junk md5s and nothing else.
+    buf = b"\xff".join(s.encode() for s in norm)
+    spans: list[tuple[int, int]] = []  # (buffer offset, ng) per doc
+    off = 0
     for s in norm:
-        ng = max(len(s) - K + 1, 0)
-        if ng:
-            b = np.frombuffer(s.encode(), dtype=np.uint8)
-            g = np.ascontiguousarray(
-                np.lib.stride_tricks.sliding_window_view(b, K)
-            ).view(f"S{K}")[:, 0]
-            parts.append(g)
-        spans.append((pos, ng))
-        pos += ng
-    if not parts:
-        for _s, _ng in spans:
+        spans.append((off, max(len(s) - K + 1, 0)))
+        off += len(s) + 1
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) < K:
+        for _o, _ng in spans:
             yield 0, []
         return
-    uniq, inv = np.unique(np.concatenate(parts), return_inverse=True)
-    # V16 (void), NOT S16: the S dtype strips trailing NUL bytes, which
-    # would truncate any digest ending in 0x00; void keeps all 16 and
-    # still compares memcmp-lexicographically (== hex-string order)
-    digests = np.frombuffer(
-        b"".join(hashlib.md5(bytes(u)).digest() for u in uniq), dtype="V16"
+    # grams viewed as big-endian u64: numeric order == byte order, and
+    # np.unique on integers skips the S8 memcmp sort
+    g_all = np.ascontiguousarray(
+        np.lib.stride_tricks.sliding_window_view(b, K)
+    ).view(">u8")[:, 0]
+    uniq, inv = np.unique(g_all, return_inverse=True)
+    gram_bytes = uniq.tobytes()  # big-endian round-trip = original bytes
+    dig = b"".join(
+        hashlib.md5(gram_bytes[i : i + K]).digest()
+        for i in range(0, len(gram_bytes), K)
     )
-    # rank per gram such that rank order == digest (== hex) order;
-    # np.unique also merges the (astronomically unlikely) md5 tie so
-    # equal digests compare equal, exactly like string comparison did
-    sort_d, rank_of_uniq = np.unique(digests, return_inverse=True)
+    # rank per unique gram such that rank order == digest byte order
+    # (== hex-string order); ties (md5 collisions, ~2^-64) merge into
+    # one rank exactly like string comparison did
+    hi = np.frombuffer(dig, dtype=">u8")[0::2]
+    lo = np.frombuffer(dig, dtype=">u8")[1::2]
+    order = np.lexsort((lo, hi))
+    shi, slo = hi[order], lo[order]
+    new_grp = np.empty(len(order), dtype=bool)
+    if len(order):
+        new_grp[0] = True
+        new_grp[1:] = (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])
+    gid = np.cumsum(new_grp) - 1
+    rank_of_uniq = np.empty(len(order), dtype=np.int64)
+    rank_of_uniq[order] = gid
+    rep_idx = order[new_grp]  # unique-gram index of each rank's digest
     ranks = rank_of_uniq[inv]
-    for start, ng in spans:
+    # global sliding-window min over ranks: windows straddling doc
+    # boundaries are computed but never gathered
+    if len(ranks) >= Wn:
+        wins_all = np.lib.stride_tricks.sliding_window_view(ranks, Wn).min(
+            axis=1
+        )
+    else:
+        wins_all = ranks[:0]
+    for o, ng in spans:
         if ng == 0:
             yield 0, []
             continue
-        r = ranks[start : start + ng]
         if ng <= Wn:
-            sel = r.min(keepdims=True)
+            sel = ranks[o : o + ng].min(keepdims=True)
         else:
-            sel = np.unique(
-                np.lib.stride_tricks.sliding_window_view(r, Wn).min(axis=1)
-            )
-        yield ng, [bytes(sort_d[j]).hex() for j in sel]
+            sel = np.unique(wins_all[o : o + ng - Wn + 1])
+        yield ng, [
+            dig[16 * rep_idx[j] : 16 * rep_idx[j] + 16].hex() for j in sel
+        ]
 
 
 def q_winnow_fingerprint(spark, sf_dir):
